@@ -1,0 +1,169 @@
+"""Experiment configuration.
+
+A typed dataclass replaces the reference's flat module of constants
+(``src/pipeline/config.py:20-114``).  JSON overrides are applied by key with
+type checking (the reference uses blind ``setattr``, ``main.py:97-99``), the
+full config snapshot is embedded in every metrics JSON
+(``config.py:135-158``), and the reference's misspelled flag
+``RNAKED_LIST_ORDER_IN_PROMPT`` (``config.py:70``) is renamed to
+``RANKED_LIST_ORDER_IN_PROMPT`` while the old spelling is still accepted in
+JSON overrides for compatibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import random
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+# JSON keys accepted as aliases for renamed fields (reference compat).
+_KEY_ALIASES: Dict[str, str] = {
+    "RNAKED_LIST_ORDER_IN_PROMPT": "RANKED_LIST_ORDER_IN_PROMPT",
+}
+
+
+@dataclass
+class Config:
+    # --- reproducibility ---------------------------------------------------
+    SEED: int = 42
+    SAMPLE_SIZE: int = 100
+
+    # --- experiment grid ---------------------------------------------------
+    # Retrieval depths, zipped with attack positions into (top_k, pos) pairs.
+    TOP_K: List[int] = field(default_factory=lambda: [5])
+    # Injection position per pair: >0 fixed 1-indexed rank, -1 random, 0 none.
+    ADD_ATTACK_IN_RANK: List[int] = field(default_factory=lambda: [1])
+
+    # --- batching ----------------------------------------------------------
+    BATCH_SIZE_EMBED_Q: int = 32
+    LLM_BATCH_SIZE: int = 4
+
+    # --- dense index -------------------------------------------------------
+    # Directory holding the packed device index (embeddings + meta manifest).
+    DENSE_INDEX_PATH: str = "dense.index"
+    META_JSONL_PATH: str = "docs_meta.jsonl"
+
+    # --- models ------------------------------------------------------------
+    RANKER_MODEL_NAME: str = "intfloat/e5-large-v2"
+    LLM_MODEL_NAME: str = "meta-llama/Llama-3.1-8B-Instruct"
+    # Local checkpoint dirs (offline weight conversion); empty = random init of
+    # the named architecture at a configurable test scale.
+    RANKER_CHECKPOINT: str = ""
+    LLM_CHECKPOINT: str = ""
+
+    # --- generation --------------------------------------------------------
+    MAX_GEN_TOKENS_FALSE_ANSWER: int = 50
+    MAX_GEN_TOKENS_DOCUMENT: int = 250
+    MAX_GEN_TOKENS_RAG: int = 500
+    TEMPERATURE: float = 0.1
+    TOP_P: float = 1.0
+
+    # --- dataset / attack --------------------------------------------------
+    DATASET_NAME: str = "csv"          # csv | nq | hotpotqa | triviaqa
+    DATASET_SPLIT: str = "validation"
+    CSV_INPUT_PATH: str = "input.csv"
+    SAMPLED_QUERIES_JSON: str = "sampled_nq_queries.json"
+    ATTACK_VARIANT: str = "malicious_doc"   # malicious_doc | doc_corruption
+    RANKED_LIST_ORDER_IN_PROMPT: str = "top_down"  # top_down|bottom_up|random
+    NUM_RANDOM_SHUFFLES: int = 10
+    DOC_NEIGHBORS_K: int = 0
+    MALICIOUS_DOC_SELECTION_STRATEGY: str = "random"
+    MAX_MALICIOUS_DOCS_PER_QUERY: int = 1
+    ORACLE: bool = True
+
+    # --- retrieval backend -------------------------------------------------
+    RETRIEVER_BACKEND: str = "dense"   # dense | sparse | sparse_and_dense
+    SPARSE_INDEX_NAME_OR_PATH: str = ""
+    BM25_K1: float = 0.9
+    BM25_B: float = 0.4
+
+    # --- defense -----------------------------------------------------------
+    DEFENSE_BACKEND: str = "none"      # none | ragdefender | discern_and_answer
+    RAGDEFENDER_TASK: str = ""
+    DISCERN_CLASSIFIER_MODEL: str = ""
+    DISCERN_OPENAI_API_KEY: str = ""
+    DISCERN_MAX_DOCS_TO_CLASSIFY: int = 32
+    DISCERN_CLASSIFY_TEMPERATURE: float = 0.0
+    DISCERN_LABELS_LOAD_PATH: str = ""
+    DISCERN_LABELS_SAVE_SUFFIX: str = ""
+
+    # --- output ------------------------------------------------------------
+    OUTPUT_CSV_BASE: str = "attack_results"
+
+    # --- TPU mesh ----------------------------------------------------------
+    # Mesh axis sizes; 0 = use all local devices on the data axis.
+    MESH_DATA: int = 0
+    MESH_MODEL: int = 1
+
+    # ------------------------------------------------------------------ API
+    def validate(self) -> None:
+        """Config invariants (extends reference's single check,
+        ``config.py:129-132``)."""
+        if self.RETRIEVER_BACKEND == "sparse_and_dense" and not self.ORACLE:
+            raise ValueError(
+                "Hybrid (sparse_and_dense) retrieval requires ORACLE=True.")
+        if self.RETRIEVER_BACKEND not in {"dense", "sparse", "sparse_and_dense"}:
+            raise ValueError(f"Unknown RETRIEVER_BACKEND: {self.RETRIEVER_BACKEND}")
+        if self.DEFENSE_BACKEND not in {"none", "ragdefender", "discern_and_answer"}:
+            raise ValueError(f"Unknown DEFENSE_BACKEND: {self.DEFENSE_BACKEND}")
+        if self.ATTACK_VARIANT not in {"malicious_doc", "doc_corruption"}:
+            raise ValueError(f"Unknown ATTACK_VARIANT: {self.ATTACK_VARIANT}")
+
+    def init_seeds(self) -> None:
+        random.seed(self.SEED)
+        np.random.seed(self.SEED)
+
+    def snapshot(self) -> Dict[str, Any]:
+        """JSON-serializable snapshot for embedding in result files."""
+        return dataclasses.asdict(self)
+
+    def apply_overrides(self, overrides: Dict[str, Any]) -> None:
+        """Apply a JSON override dict.  Unknown keys warn and are skipped;
+        known keys are coerced to the field's declared type where possible."""
+        if not overrides:
+            return
+        fields = {f.name: f for f in dataclasses.fields(self)}
+        for raw_key, value in overrides.items():
+            key = _KEY_ALIASES.get(raw_key, raw_key)
+            if key not in fields:
+                print(f"[config] Warning: unknown key '{raw_key}', skipping.")
+                continue
+            current = getattr(self, key)
+            if isinstance(current, bool) and not isinstance(value, bool):
+                value = bool(value)
+            elif isinstance(current, int) and not isinstance(current, bool) \
+                    and isinstance(value, (int, float)) and not isinstance(value, bool):
+                value = int(value)
+            elif isinstance(current, float) and isinstance(value, (int, float)):
+                value = float(value)
+            setattr(self, key, value)
+            print(f"[config] {key} = {value}")
+
+
+def load_json_config(json_path: Optional[str]) -> Dict[str, Any]:
+    """Soft-fail JSON loader (returns {} on missing/bad file, matching
+    reference ``main.py:44-70``)."""
+    if not json_path or not os.path.exists(json_path):
+        if json_path:
+            print(f"[config] JSON not found: {json_path}")
+        return {}
+    try:
+        with open(json_path, "r", encoding="utf-8") as f:
+            return json.load(f)
+    except Exception as e:  # noqa: BLE001 - parity with reference soft-fail
+        print(f"[config] Error loading {json_path}: {e}")
+        return {}
+
+
+def make_config(json_path: Optional[str] = None,
+                overrides: Optional[Dict[str, Any]] = None) -> Config:
+    cfg = Config()
+    cfg.apply_overrides(load_json_config(json_path))
+    if overrides:
+        cfg.apply_overrides(overrides)
+    return cfg

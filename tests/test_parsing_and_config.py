@@ -1,0 +1,74 @@
+"""CSV ingest fallback chain (reference ``parsing.py:9-97``) and config
+override/snapshot behavior."""
+
+import json
+
+from sdag_tpu.config import Config, make_config
+from sdag_tpu.utils.parsing import load_from_csv, parse_list_field
+
+
+def test_parse_list_field_chain():
+    assert parse_list_field('["a", "b"]') == ["a", "b"]
+    assert parse_list_field("['a', 'b']") == ["a", "b"]
+    assert parse_list_field("a ||| b") == ["a", "b"]
+    assert parse_list_field("a, b") == ["a", "b"]
+    assert parse_list_field("single") == ["single"]
+    assert parse_list_field("") == []
+    assert parse_list_field(None) == []
+    assert parse_list_field("[1, 2]") == ["1", "2"]
+
+
+def test_load_from_csv_groups(tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "query,query_id,ground_truth_answers,false_answer,malicious_document\n"
+        'q1,1,"[""a1"", ""a2""]",f1,m1\n'
+        "q1,1,a1,f1,m2\n"
+        "q2,2,a3,f2,m3\n",
+        encoding="utf-8")
+    qd = load_from_csv(str(p))
+    assert qd.questions == ["q1", "q2"]
+    assert qd.query_ids == ["1", "2"]
+    assert qd.short_answers[0] == ["a1", "a2"]
+    assert qd.false_answer_groups[0] == ["f1"]          # deduped
+    assert qd.malicious_doc_groups[0] == ["m1", "m2"]   # accumulated
+    assert qd.malicious_doc_groups[1] == ["m3"]
+
+
+def test_load_from_csv_missing_columns(tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("query,query_id\nq,1\n", encoding="utf-8")
+    try:
+        load_from_csv(str(p))
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "missing required columns" in str(e)
+
+
+def test_config_overrides_and_alias(tmp_path):
+    cfg_file = tmp_path / "cfg.json"
+    cfg_file.write_text(json.dumps({
+        "TOP_K": [5, 10],
+        "TEMPERATURE": 0,                      # int -> float coercion
+        "RNAKED_LIST_ORDER_IN_PROMPT": "random",  # reference typo alias
+        "NOT_A_KEY": 1,
+    }))
+    cfg = make_config(str(cfg_file))
+    assert cfg.TOP_K == [5, 10]
+    assert cfg.TEMPERATURE == 0.0 and isinstance(cfg.TEMPERATURE, float)
+    assert cfg.RANKED_LIST_ORDER_IN_PROMPT == "random"
+    snap = cfg.snapshot()
+    assert snap["SEED"] == 42
+    json.dumps(snap)  # must be JSON-serializable
+
+
+def test_config_validate():
+    cfg = Config()
+    cfg.validate()
+    cfg.RETRIEVER_BACKEND = "sparse_and_dense"
+    cfg.ORACLE = False
+    try:
+        cfg.validate()
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
