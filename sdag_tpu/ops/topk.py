@@ -1,0 +1,207 @@
+"""Fused matmul + top-k for dense retrieval.
+
+TPU-native replacement for FAISS flat inner-product search (reference loads
+and queries a faiss index at ``src/pipeline/retrieval/dense.py:36,83``).  The
+corpus embedding matrix lives in HBM; a Pallas kernel streams corpus tiles
+through VMEM, scores them on the MXU, and maintains a running top-k per query
+in VMEM scratch — the full [Q, N] score matrix is never materialized.
+
+Tie-breaking is exact: equal scores resolve to the smaller corpus index, so
+results are order-identical to a stable exact scan (faiss-flat parity).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def exact_topk_xla(queries: jax.Array, corpus: jax.Array, k: int,
+                   valid_n: int | None = None) -> Tuple[jax.Array, jax.Array]:
+    """Reference exact search: full matmul + top-k (tie-break by index).
+
+    Used for parity testing and as a small-N fallback.  Returns
+    (scores [Q,k], indices [Q,k]) sorted by descending score.
+    """
+    scores = jnp.dot(queries, corpus.T, preferred_element_type=jnp.float32)
+    if valid_n is not None:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < valid_n, scores, NEG_INF)
+    # jax.lax.top_k breaks ties by lower index already (stable).
+    vals, idxs = jax.lax.top_k(scores, k)
+    idxs = jnp.where(jnp.isneginf(vals), -1, idxs)
+    return vals, idxs.astype(jnp.int32)
+
+
+def _select_next(vals: jax.Array, gidx: jax.Array):
+    """One selection step: per row, the max value with smallest global index
+    among ties.  Returns (max_val [Q,1], sel_idx [Q,1], selection mask)."""
+    m = jnp.max(vals, axis=1, keepdims=True)
+    is_max = vals == m
+    sel = jnp.min(jnp.where(is_max, gidx, _INT_MAX), axis=1, keepdims=True)
+    chosen = is_max & (gidx == sel)
+    return m, sel, chosen
+
+
+def _topk_kernel(valid_ref, q_ref, c_ref, out_vals_ref, out_idx_ref,
+                 vals_scratch, idx_scratch, *, k: int, block_n: int):
+    """Grid: (num_n_tiles,).  q_ref: [Qp, D] (resident); c_ref: [block_n, D]
+    tile; scratch holds the running top-k (descending, index tie-broken).
+    valid_ref: SMEM scalar — number of real (unpadded) corpus rows; dynamic
+    so SPMD shards with different remainders share one compiled kernel."""
+    j = pl.program_id(0)
+    num_tiles = pl.num_programs(0)
+    valid_n = valid_ref[0]
+
+    @pl.when(j == 0)
+    def _init():
+        vals_scratch[:] = jnp.full_like(vals_scratch, NEG_INF)
+        idx_scratch[:] = jnp.full_like(idx_scratch, _INT_MAX)
+
+    # MXU: [Qp, D] x [D, block_n] -> [Qp, block_n] in f32.
+    scores = jax.lax.dot_general(
+        q_ref[:], c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    gcol = col + j * block_n
+    scores = jnp.where(gcol < valid_n, scores, NEG_INF)
+
+    cv = jnp.concatenate([vals_scratch[:], scores], axis=1)
+    ci = jnp.concatenate([idx_scratch[:], gcol], axis=1)
+
+    # k is static and small: unroll selection in Python so every scratch
+    # column store has a static lane index.
+    new_vals = []
+    new_idx = []
+    for _ in range(k):
+        m, sel, chosen = _select_next(cv, ci)
+        new_vals.append(m)
+        new_idx.append(sel)
+        cv = jnp.where(chosen, NEG_INF, cv)
+        ci = jnp.where(chosen, _INT_MAX, ci)
+
+    k_pad = vals_scratch.shape[1]
+    pad = k_pad - k
+    vals_row = jnp.concatenate(new_vals, axis=1)
+    idx_row = jnp.concatenate(new_idx, axis=1)
+    if pad:
+        qp = vals_row.shape[0]
+        vals_row = jnp.concatenate(
+            [vals_row, jnp.full((qp, pad), NEG_INF, jnp.float32)], axis=1)
+        idx_row = jnp.concatenate(
+            [idx_row, jnp.full((qp, pad), _INT_MAX, jnp.int32)], axis=1)
+    vals_scratch[:] = vals_row
+    idx_scratch[:] = idx_row
+
+    @pl.when(j == num_tiles - 1)
+    def _flush():
+        out_vals_ref[:] = vals_scratch[:]
+        out_idx_ref[:] = jnp.where(idx_scratch[:] == _INT_MAX, -1,
+                                   idx_scratch[:])
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_n", "interpret"))
+def fused_topk_matmul(queries: jax.Array, corpus: jax.Array, k: int,
+                      block_n: int = 1024, valid_n=None,
+                      interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Pallas fused inner-product search.
+
+    queries: [Q, D]; corpus: [N, D] (N padded to block_n by caller or here).
+    valid_n may be a traced scalar (rows >= valid_n are masked out).
+    Returns (scores [Q, k], indices [Q, k]); indices of padded/invalid rows
+    are -1 with -inf scores.
+    """
+    q, n = queries.shape[0], corpus.shape[0]
+    d = queries.shape[1]
+    if valid_n is None:
+        valid_n = n
+    valid_arr = jnp.asarray(valid_n, jnp.int32).reshape((1,))
+
+    qp = _round_up(max(q, 8), 8)
+    k_pad = _round_up(max(k, 128), 128)  # lane-aligned scratch
+    n_pad = _round_up(n, block_n)
+
+    if qp != q:
+        queries = jnp.pad(queries, ((0, qp - q), (0, 0)))
+    if n_pad != n:
+        corpus = jnp.pad(corpus, ((0, n_pad - n), (0, 0)))
+
+    queries = queries.astype(corpus.dtype)
+    num_tiles = n_pad // block_n
+
+    grid_spec = pl.GridSpec(
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((qp, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qp, k_pad), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qp, k_pad), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((qp, k_pad), jnp.float32),
+            pltpu.VMEM((qp, k_pad), jnp.int32),
+        ],
+    )
+
+    out_vals, out_idx = pl.pallas_call(
+        functools.partial(_topk_kernel, k=k, block_n=block_n),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((qp, k_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * n_pad * d,
+            bytes_accessed=n_pad * d * corpus.dtype.itemsize + qp * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(valid_arr, queries, corpus)
+
+    return out_vals[:q, :k], out_idx[:q, :k]
+
+
+def merge_topk(scores: jax.Array, indices: jax.Array, k: int
+               ) -> Tuple[jax.Array, jax.Array]:
+    """Merge candidate lists [Q, M] -> top-k with exact (score desc, index
+    asc) ordering.  Used to combine per-shard results."""
+    order = jnp.lexsort((indices, -scores), axis=-1)
+    top = order[:, :k]
+    return (jnp.take_along_axis(scores, top, axis=1),
+            jnp.take_along_axis(indices, top, axis=1))
+
+
+def topk_search(queries: jax.Array, corpus: jax.Array, k: int,
+                valid_n: int | None = None, block_n: int = 1024,
+                use_pallas: bool | None = None) -> Tuple[jax.Array, jax.Array]:
+    """Dispatch: Pallas kernel on TPU, interpreter/XLA elsewhere."""
+    platform = jax.default_backend()
+    if use_pallas is None:
+        use_pallas = platform == "tpu"
+    if use_pallas:
+        return fused_topk_matmul(queries, corpus, k, block_n=block_n,
+                                 valid_n=valid_n)
+    return exact_topk_xla(queries, corpus, k, valid_n=valid_n)

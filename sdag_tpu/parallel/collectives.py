@@ -1,0 +1,63 @@
+"""Sharded-index collectives: per-shard top-k + ICI all-gather merge.
+
+TPU-native replacement for FAISS's single-node search when the corpus is
+sharded over devices (SURVEY.md §2.10): each shard runs the fused
+matmul+top-k kernel on its rows, candidates ride the ICI via
+``jax.lax.all_gather``, and the merge is exactly order-stable
+(score desc, global index asc) so sharded results are bit-identical to a
+single-device exact scan.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from sdag_tpu.ops.topk import merge_topk, topk_search
+
+
+def sharded_topk_search(queries: jax.Array, corpus: jax.Array, k: int,
+                        valid_n: int, mesh: Mesh, axis: str = "index",
+                        use_pallas: bool | None = None,
+                        block_n: int = 1024
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over a row-sharded corpus.
+
+    queries: [Q, D] replicated; corpus: [N_pad, D] sharded on rows along
+    `axis` (N_pad divisible by the axis size); valid_n: number of real rows.
+    Returns replicated (scores [Q, k], global indices [Q, k]).
+    """
+    n_pad = corpus.shape[0]
+    n_shards = mesh.shape[axis]
+    shard_rows = n_pad // n_shards
+
+    def local_search(q, c_shard):
+        shard_id = jax.lax.axis_index(axis)
+        row0 = shard_id * shard_rows
+        local_valid = jnp.clip(valid_n - row0, 0, shard_rows)
+        vals, idx = topk_search(q, c_shard, k, valid_n=local_valid,
+                                use_pallas=use_pallas, block_n=block_n)
+        gidx = jnp.where(idx >= 0, idx + row0, jnp.iinfo(jnp.int32).max)
+        # Gather all shards' candidates along the candidate axis.
+        vals_all = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
+        gidx_all = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
+        mv, mi = merge_topk(vals_all, gidx_all, k)
+        return mv, jnp.where(jnp.isneginf(mv), -1, mi)
+
+    fn = shard_map(
+        local_search, mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return fn(queries, corpus)
+
+
+@partial(jax.jit, static_argnames=("axis_name",))
+def psum_scalar(x, axis_name: str = "data"):
+    return jax.lax.psum(x, axis_name)

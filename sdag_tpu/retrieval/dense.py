@@ -1,0 +1,160 @@
+"""Dense retrieval: HBM-resident embedding index + fused top-k search.
+
+TPU-native replacement for the reference's FAISS flat index
+(``src/pipeline/retrieval/dense.py:15-178``): the corpus embedding matrix is
+device-resident (optionally row-sharded over a mesh), queries are scored with
+the fused Pallas matmul+top-k kernel, and hits are materialized from a JSONL
+metadata manifest with the same ""/"NA" fallbacks for invalid indices
+(``dense.py:122-125``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdag_tpu.core.mesh import make_index_mesh, shard_rows
+from sdag_tpu.datamodels import RetrievalBatch
+from sdag_tpu.ops.topk import topk_search
+from sdag_tpu.parallel.collectives import sharded_topk_search
+from sdag_tpu.retrieval.retriever import Retriever
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class DenseIndex:
+    """Flat exact inner-product index over normalized embeddings.
+
+    Rows are padded to a multiple of (block_n * num_devices) and sharded
+    along the 'index' mesh axis; search merges per-shard top-k over ICI.
+    """
+
+    def __init__(self, embeddings: np.ndarray, meta: List[Dict[str, Any]],
+                 mesh=None, block_n: int = 1024,
+                 dtype: jnp.dtype = jnp.float32) -> None:
+        if embeddings.ndim != 2:
+            raise ValueError("embeddings must be [N, D]")
+        if len(meta) != embeddings.shape[0]:
+            raise ValueError("meta length must match embedding rows")
+        self.meta = meta
+        self.valid_n = embeddings.shape[0]
+        self.dim = embeddings.shape[1]
+        self.block_n = block_n
+        self.mesh = mesh if mesh is not None else make_index_mesh()
+        self.n_shards = self.mesh.shape["index"]
+
+        n_pad = _round_up(self.valid_n, block_n * self.n_shards)
+        padded = np.zeros((n_pad, self.dim), dtype=np.float32)
+        padded[: self.valid_n] = np.asarray(embeddings, dtype=np.float32)
+        self.embeddings = shard_rows(jnp.asarray(padded, dtype=dtype),
+                                     self.mesh, "index")
+
+    # ------------------------------------------------------------- search
+    def search(self, query_embeddings: np.ndarray, top_k: int
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k inner-product search.  Returns (indices [Q,k], scores [Q,k]);
+        same return convention as the reference's ``search_index``."""
+        q = jnp.asarray(np.asarray(query_embeddings, dtype=np.float32))
+        if self.n_shards > 1:
+            vals, idx = sharded_topk_search(
+                q, self.embeddings, top_k, valid_n=self.valid_n,
+                mesh=self.mesh, block_n=self.block_n)
+        else:
+            vals, idx = topk_search(q, self.embeddings, top_k,
+                                    valid_n=self.valid_n,
+                                    block_n=self.block_n)
+        return np.asarray(idx), np.asarray(vals)
+
+    def materialize(self, indices: Sequence[Sequence[int]],
+                    scores: Sequence[Sequence[float]]
+                    ) -> Tuple[List[List[str]], List[List[str]], List[List[float]]]:
+        """Turn raw (index, score) hits into texts/ids/scores with ""/"NA"
+        fallbacks for invalid rows."""
+        texts_b, ids_b, scores_b = [], [], []
+        for row_idx, row_sc in zip(indices, scores):
+            texts, ids_, scs = [], [], []
+            for idx, sc in zip(row_idx, row_sc):
+                if 0 <= idx < len(self.meta):
+                    texts.append(self.meta[idx].get("text", ""))
+                    ids_.append(str(self.meta[idx].get("id", "NA")))
+                else:
+                    texts.append("")
+                    ids_.append("NA")
+                scs.append(float(sc))
+            texts_b.append(texts)
+            ids_b.append(ids_)
+            scores_b.append(scs)
+        return texts_b, ids_b, scores_b
+
+    # --------------------------------------------------------------- I/O
+    def save(self, index_dir: str) -> None:
+        """Persist as embeddings.npy + meta.jsonl (shard-manifest style)."""
+        os.makedirs(index_dir, exist_ok=True)
+        emb = np.asarray(self.embeddings)[: self.valid_n]
+        np.save(os.path.join(index_dir, "embeddings.npy"), emb)
+        with open(os.path.join(index_dir, "meta.jsonl"), "w",
+                  encoding="utf-8") as f:
+            for m in self.meta:
+                f.write(json.dumps(m, ensure_ascii=False) + "\n")
+        with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+            json.dump({"n": self.valid_n, "dim": self.dim,
+                       "block_n": self.block_n}, f)
+
+    @classmethod
+    def load(cls, index_dir: str, mesh=None, meta_path: Optional[str] = None
+             ) -> "DenseIndex":
+        emb = np.load(os.path.join(index_dir, "embeddings.npy"))
+        meta = load_meta_jsonl(meta_path or os.path.join(index_dir, "meta.jsonl"))
+        manifest_path = os.path.join(index_dir, "manifest.json")
+        block_n = 1024
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                block_n = json.load(f).get("block_n", 1024)
+        return cls(emb, meta, mesh=mesh, block_n=block_n)
+
+    @classmethod
+    def from_texts(cls, texts: List[str], ids: List[str], encoder,
+                   mesh=None, batch_size: int = 64, block_n: int = 1024
+                   ) -> "DenseIndex":
+        """Build the index by encoding passages (E5 'passage: ' rule lives in
+        the encoder)."""
+        emb = encoder.encode(texts, kind="passage", batch_size=batch_size)
+        meta = [{"id": i, "text": t} for i, t in zip(ids, texts)]
+        return cls(np.asarray(emb), meta, mesh=mesh, block_n=block_n)
+
+
+def load_meta_jsonl(path: str) -> List[Dict[str, Any]]:
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"Metadata jsonl not found at {path}")
+    meta: List[Dict[str, Any]] = []
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                meta.append(json.loads(line))
+    return meta
+
+
+class DenseRetriever(Retriever):
+    """Encode queries -> fused top-k search -> materialized hits."""
+
+    def __init__(self, encoder, index: DenseIndex) -> None:
+        self.encoder = encoder
+        self.index = index
+
+    def retrieve_batch(self, queries: Sequence[str], max_k_needed: int,
+                       embed_batch_size: int) -> RetrievalBatch:
+        q_embs = self.encoder.encode(list(queries), kind="query",
+                                     batch_size=embed_batch_size)
+        q_embs = np.asarray(q_embs, dtype=np.float32)
+        indices, scores = self.index.search(q_embs, top_k=max_k_needed)
+        texts, ids_, scs = self.index.materialize(indices, scores)
+        return RetrievalBatch(q_embs=list(q_embs), docs_texts_full=texts,
+                              ids_full=ids_, scores_full=scs)

@@ -3,13 +3,19 @@ multi-device paths are exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-# Must run before jax is imported anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must run before jax initializes a backend.  The axon sitecustomize
+# force-registers the TPU plugin and sets jax_platforms="axon,cpu", so a
+# plain env override is not enough — update jax.config as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,136 @@
+"""Kernel-parity tests: fused Pallas matmul+top-k vs exact XLA search, and
+the sharded (8 virtual devices) path vs single-device (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdag_tpu.core.mesh import make_index_mesh
+from sdag_tpu.ops.topk import exact_topk_xla, fused_topk_matmul, merge_topk
+from sdag_tpu.parallel.collectives import sharded_topk_search
+from sdag_tpu.retrieval.dense import DenseIndex, DenseRetriever
+
+
+def _rand(q, n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    qe = rng.standard_normal((q, d)).astype(np.float32)
+    ce = rng.standard_normal((n, d)).astype(np.float32)
+    qe /= np.linalg.norm(qe, axis=1, keepdims=True)
+    ce /= np.linalg.norm(ce, axis=1, keepdims=True)
+    return qe, ce
+
+
+def test_fused_matches_exact_interpret():
+    qe, ce = _rand(7, 900, 128)
+    v_ref, i_ref = exact_topk_xla(jnp.array(qe), jnp.array(ce), 10)
+    v, i = fused_topk_matmul(jnp.array(qe), jnp.array(ce), 10,
+                             block_n=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_fused_tie_break_lowest_index():
+    c = np.zeros((16, 8), np.float32)
+    c[3] = c[9] = c[12] = 1.0
+    q = np.ones((1, 8), np.float32)
+    _, i = fused_topk_matmul(jnp.array(q), jnp.array(c), 3,
+                             block_n=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i)[0], [3, 9, 12])
+
+
+def test_fused_valid_n_masks_padding():
+    qe, ce = _rand(2, 64, 32)
+    ce[50:] = 10.0  # rows beyond valid_n would dominate if unmasked
+    v, i = fused_topk_matmul(jnp.array(qe), jnp.array(ce), 5,
+                             block_n=32, valid_n=50, interpret=True)
+    assert np.asarray(i).max() < 50
+
+
+def test_exact_recall_vs_numpy():
+    """recall@k == 1.0 vs a plain numpy exact scan (faiss-flat stand-in)."""
+    qe, ce = _rand(20, 2000, 64, seed=3)
+    scores = qe @ ce.T
+    ref_idx = np.argsort(-scores, axis=1, kind="stable")[:, :10]
+    _, i = exact_topk_xla(jnp.array(qe), jnp.array(ce), 10)
+    recall = np.mean([
+        len(set(ref_idx[r]) & set(np.asarray(i)[r])) / 10
+        for r in range(20)
+    ])
+    assert recall == 1.0
+
+
+def test_merge_topk_orders_by_score_then_index():
+    v, i = merge_topk(jnp.array([[1.0, 2.0, 2.0, 0.5]]),
+                      jnp.array([[9, 7, 3, 1]]), 3)
+    np.testing.assert_array_equal(np.asarray(i)[0], [3, 7, 9])
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_sharded_search_matches_single_device():
+    mesh = make_index_mesh()
+    qe, ce = _rand(6, 1000, 64, seed=5)
+    k = 10
+    v_ref, i_ref = exact_topk_xla(jnp.array(qe), jnp.array(ce), k)
+
+    block_n = 32
+    n_pad = ((1000 + block_n * 8 - 1) // (block_n * 8)) * (block_n * 8)
+    ce_pad = np.zeros((n_pad, 64), np.float32)
+    ce_pad[:1000] = ce
+    from sdag_tpu.core.mesh import shard_rows
+    c_sharded = shard_rows(jnp.array(ce_pad), mesh, "index")
+
+    v, i = sharded_topk_search(jnp.array(qe), c_sharded, k, valid_n=1000,
+                               mesh=mesh, block_n=block_n)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_dense_index_end_to_end(tmp_path):
+    qe, ce = _rand(4, 300, 32, seed=9)
+    meta = [{"id": f"doc{i}", "text": f"text {i}"} for i in range(300)]
+    index = DenseIndex(ce, meta, block_n=32)
+    idx, scores = index.search(qe, top_k=5)
+    assert idx.shape == (4, 5)
+    # parity with exact scan
+    ref = np.argsort(-(qe @ ce.T), axis=1, kind="stable")[:, :5]
+    np.testing.assert_array_equal(idx, ref)
+    texts, ids_, scs = index.materialize(idx, scores)
+    assert ids_[0][0] == f"doc{ref[0][0]}"
+    # save / load round-trip
+    index.save(str(tmp_path / "idx"))
+    index2 = DenseIndex.load(str(tmp_path / "idx"))
+    idx2, _ = index2.search(qe, top_k=5)
+    np.testing.assert_array_equal(idx2, idx)
+
+
+class _FakeEncoder:
+    """Deterministic hash-based encoder for retriever-level tests."""
+
+    def __init__(self, dim=32):
+        self.dim = dim
+
+    def encode(self, texts, kind="query", batch_size=32):
+        out = np.zeros((len(texts), self.dim), np.float32)
+        for i, t in enumerate(texts):
+            rng = np.random.default_rng(abs(hash((kind != "raw", t))) % (2**32))
+            out[i] = rng.standard_normal(self.dim)
+        out /= np.linalg.norm(out, axis=1, keepdims=True) + 1e-9
+        return out
+
+
+def test_dense_retriever_contract():
+    enc = _FakeEncoder()
+    texts = [f"document number {i}" for i in range(100)]
+    index = DenseIndex.from_texts(texts, [f"d{i}" for i in range(100)],
+                                  enc, block_n=32)
+    r = DenseRetriever(enc, index)
+    batch = r.retrieve_batch(["q one", "q two"], max_k_needed=3,
+                             embed_batch_size=8)
+    assert len(batch.docs_texts_full) == 2
+    assert len(batch.docs_texts_full[0]) == 3
+    assert len(batch.ids_full[0]) == 3
+    assert len(batch.q_embs) == 2
+    # scores descending
+    assert batch.scores_full[0] == sorted(batch.scores_full[0], reverse=True)
