@@ -1,0 +1,100 @@
+"""Golden tests for the SDAG block mask (reference ``SDAG.py:68-127``
+semantics) and the O(L) metadata encoding."""
+
+import numpy as np
+
+from sdag_tpu.sdag.mask import (
+    BlockLayout, build_blocked_causal_mask, layout_to_metadata,
+    mask_from_metadata, neighbors_to_bitmask)
+
+
+def _ref_mask(L, sys_user_len, doc_spans, qa_start, neighbors=None):
+    """Independent re-statement of the reference's per-token loop
+    (SDAG.py:104-127) as ground truth."""
+    mask = np.zeros((L, L), dtype=bool)
+    for i in range(sys_user_len):
+        mask[i, :i + 1] = True
+    nd = len(doc_spans)
+    use = neighbors is not None and len(neighbors) == nd
+    for d, (s, e) in enumerate(doc_spans):
+        for i in range(s, e):
+            mask[i, :sys_user_len] = True
+            mask[i, s:i + 1] = True
+            if use:
+                for n in neighbors[d]:
+                    if 0 <= n < nd:
+                        ns, ne = doc_spans[n]
+                        mask[i, ns:ne] = True
+    for i in range(qa_start, L):
+        mask[i, :i + 1] = True
+    return mask
+
+
+LAYOUT = BlockLayout(seq_len=30, sys_user_len=6,
+                     doc_token_spans=((6, 11), (13, 18), (20, 24)),
+                     qa_start=26)
+
+
+def test_mask_matches_reference_semantics_no_neighbors():
+    got = build_blocked_causal_mask(LAYOUT, reference_gap_rows=True)
+    want = _ref_mask(30, 6, LAYOUT.doc_token_spans, 26)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mask_matches_reference_semantics_with_neighbors():
+    nbrs = [[1], [0, 2], [5]]  # 5 is out of range -> ignored
+    got = build_blocked_causal_mask(LAYOUT, doc_neighbors=nbrs,
+                                    reference_gap_rows=True)
+    want = _ref_mask(30, 6, LAYOUT.doc_token_spans, 26, nbrs)
+    np.testing.assert_array_equal(got, want)
+    # neighbor visibility is full-span (non-causal): doc0 token sees doc1's
+    # *future* tokens
+    assert got[6, 17]  # doc0 first token -> doc1 last token
+
+
+def test_gap_rows_causal_in_production_mask():
+    got = build_blocked_causal_mask(LAYOUT, reference_gap_rows=False)
+    # gap token at 12 (between doc0 and doc1): causal row
+    np.testing.assert_array_equal(got[12], np.arange(30) <= 12)
+    # doc rows never attend gap tokens
+    assert not got[14, 12]
+    # all other rows identical to reference-semantics mask
+    ref = build_blocked_causal_mask(LAYOUT, reference_gap_rows=True)
+    gap = np.ones(30, bool)
+    gap[:6] = False
+    for s, e in LAYOUT.doc_token_spans:
+        gap[s:e] = False
+    gap[26:] = False
+    np.testing.assert_array_equal(got[~gap], ref[~gap])
+
+
+def test_isolation_no_cross_doc_attention():
+    m = build_blocked_causal_mask(LAYOUT)
+    # doc1 token cannot see doc0 tokens (strict isolation)
+    assert not m[14, 6:11].any()
+    # doc rows see sys/user prefix
+    assert m[14, :6].all()
+    # QA tail sees everything before it
+    assert m[27, :28].all()
+
+
+def test_metadata_mask_equals_dense_builder():
+    for nbrs in (None, [[1], [0], [1]], [[2], [], [0, 1]]):
+        dense = build_blocked_causal_mask(LAYOUT, doc_neighbors=nbrs)
+        doc_id, bits, sul = layout_to_metadata(LAYOUT, doc_neighbors=nbrs)
+        meta = mask_from_metadata(doc_id, bits, sul)
+        np.testing.assert_array_equal(meta, dense)
+
+
+def test_metadata_padding():
+    doc_id, bits, sul = layout_to_metadata(LAYOUT, pad_to=64)
+    assert doc_id.shape == (64,)
+    assert (doc_id[30:] == -1).all()
+    m = mask_from_metadata(doc_id, bits, sul, valid_len=30)
+    assert not m[:, 30:].any() and not m[30:, :].any()
+
+
+def test_neighbors_to_bitmask_excludes_self():
+    bits = neighbors_to_bitmask([[0, 1, 2], [2]], 3)
+    assert bits[0] == 0b110  # self (0) excluded
+    assert bits[1] == 0b100
