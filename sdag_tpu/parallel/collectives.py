@@ -53,7 +53,7 @@ def sharded_topk_search(queries: jax.Array, corpus: jax.Array, k: int,
         local_search, mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(queries, corpus)
 
