@@ -1,0 +1,187 @@
+"""E5-family text encoder (BERT architecture), functional JAX.
+
+TPU-native replacement for the reference's SentenceTransformer ranker
+(``main.py:231``, ``dense.py:44-65``, ``malicious_selection.py:12-35``,
+``SDAG.py:14-65``).  Preserves the E5 conventions: "query: " / "passage: "
+prefixes when the model name contains "e5", mean pooling over the attention
+mask, and L2-normalized outputs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    vocab_size: int = 512
+    d_model: int = 128
+    n_layers: int = 2
+    n_heads: int = 4
+    d_ff: int = 256
+    max_position: int = 512
+    norm_eps: float = 1e-12
+    dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+    @staticmethod
+    def tiny() -> "EncoderConfig":
+        return EncoderConfig()
+
+    @staticmethod
+    def e5_large_v2() -> "EncoderConfig":
+        """intfloat/e5-large-v2 geometry (reference ``config.py:41``)."""
+        return EncoderConfig(vocab_size=30522, d_model=1024, n_layers=24,
+                             n_heads=16, d_ff=4096, max_position=512,
+                             dtype=jnp.bfloat16)
+
+
+def init_encoder_params(key: jax.Array, cfg: EncoderConfig) -> Dict[str, Any]:
+    d = cfg.d_model
+    keys = jax.random.split(key, cfg.n_layers + 3)
+
+    def dense(k, shape, scale=None):
+        scale = scale or shape[0] ** -0.5
+        return (jax.random.normal(k, shape, jnp.float32) * scale
+                ).astype(cfg.dtype)
+
+    layers = []
+    for li in range(cfg.n_layers):
+        lk = jax.random.split(keys[li], 8)
+        layers.append({
+            "attn": {
+                "wq": dense(lk[0], (d, d)), "bq": jnp.zeros((d,), cfg.dtype),
+                "wk": dense(lk[1], (d, d)), "bk": jnp.zeros((d,), cfg.dtype),
+                "wv": dense(lk[2], (d, d)), "bv": jnp.zeros((d,), cfg.dtype),
+                "wo": dense(lk[3], (d, d)), "bo": jnp.zeros((d,), cfg.dtype),
+            },
+            "ln1": {"w": jnp.ones((d,), cfg.dtype),
+                    "b": jnp.zeros((d,), cfg.dtype)},
+            "mlp": {
+                "w1": dense(lk[4], (d, cfg.d_ff)),
+                "b1": jnp.zeros((cfg.d_ff,), cfg.dtype),
+                "w2": dense(lk[5], (cfg.d_ff, d)),
+                "b2": jnp.zeros((d,), cfg.dtype),
+            },
+            "ln2": {"w": jnp.ones((d,), cfg.dtype),
+                    "b": jnp.zeros((d,), cfg.dtype)},
+        })
+
+    return {
+        "word_emb": dense(keys[-3], (cfg.vocab_size, d), scale=0.02),
+        "pos_emb": dense(keys[-2], (cfg.max_position, d), scale=0.02),
+        "type_emb": jnp.zeros((2, d), cfg.dtype),
+        "emb_ln": {"w": jnp.ones((d,), cfg.dtype),
+                   "b": jnp.zeros((d,), cfg.dtype)},
+        "layers": layers,
+    }
+
+
+def _layer_norm(x, ln, eps):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype) \
+        * ln["w"] + ln["b"]
+
+
+def encoder_forward(params: Dict[str, Any], cfg: EncoderConfig,
+                    input_ids: jax.Array, attention_mask: jax.Array
+                    ) -> jax.Array:
+    """Mean-pooled, L2-normalized sentence embeddings.
+
+    input_ids, attention_mask: [B, L].  Returns [B, d] float32.
+    """
+    B, L = input_ids.shape
+    pos = jnp.arange(L, dtype=jnp.int32)
+    x = (params["word_emb"][input_ids] + params["pos_emb"][pos][None]
+         + params["type_emb"][0][None, None])
+    x = _layer_norm(x, params["emb_ln"], cfg.norm_eps)
+
+    neg = jnp.finfo(jnp.float32).min * 0.5
+    bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
+
+    hd = cfg.head_dim
+    for layer in params["layers"]:
+        a = layer["attn"]
+        q = (x @ a["wq"] + a["bq"]).reshape(B, L, cfg.n_heads, hd)
+        k = (x @ a["wk"] + a["bk"]).reshape(B, L, cfg.n_heads, hd)
+        v = (x @ a["wv"] + a["bv"]).reshape(B, L, cfg.n_heads, hd)
+        scores = jnp.einsum("bihd,bjhd->bhij", q, k,
+                            preferred_element_type=jnp.float32) * hd ** -0.5
+        probs = jax.nn.softmax(scores + bias, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bhij,bjhd->bihd", probs, v).reshape(B, L, -1)
+        x = _layer_norm(x + (ctx @ a["wo"] + a["bo"]), layer["ln1"],
+                        cfg.norm_eps)
+        m = layer["mlp"]
+        h = jax.nn.gelu(x @ m["w1"] + m["b1"], approximate=False)
+        x = _layer_norm(x + (h @ m["w2"] + m["b2"]), layer["ln2"],
+                        cfg.norm_eps)
+
+    mask = attention_mask[..., None].astype(jnp.float32)
+    pooled = jnp.sum(x.astype(jnp.float32) * mask, axis=1) / \
+        jnp.maximum(jnp.sum(mask, axis=1), 1e-9)
+    return pooled / jnp.maximum(
+        jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
+
+
+class E5Encoder:
+    """Batched encoder with E5 prefixing rules and shape-bucketed jit."""
+
+    def __init__(self, params, cfg: EncoderConfig, tokenizer,
+                 model_name: str = "e5", max_length: int = 512,
+                 pad_multiple: int = 64) -> None:
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.is_e5 = "e5" in model_name.lower()
+        self.max_length = min(max_length, cfg.max_position)
+        self.pad_multiple = pad_multiple
+        self._fwd = jax.jit(
+            lambda p, ids, m: encoder_forward(p, cfg, ids, m))
+
+    @property
+    def dim(self) -> int:
+        return self.cfg.d_model
+
+    def _prefix(self, texts: List[str], kind: str) -> List[str]:
+        if not self.is_e5 or kind == "raw":
+            return list(texts)
+        return [f"{kind}: {t}" for t in texts]
+
+    def encode(self, texts: List[str], kind: str = "passage",
+               batch_size: int = 32) -> np.ndarray:
+        """kind: 'query' | 'passage' | 'raw' (controls the E5 prefix,
+        cf. reference ``dense.py:59`` / ``malicious_selection.py:32``)."""
+        if not texts:
+            return np.zeros((0, self.dim), np.float32)
+        prefixed = self._prefix([t or "" for t in texts], kind)
+        out = []
+        for i in range(0, len(prefixed), batch_size):
+            chunk = prefixed[i:i + batch_size]
+            ids, mask = self._tokenize(chunk)
+            emb = self._fwd(self.params, jnp.asarray(ids), jnp.asarray(mask))
+            out.append(np.asarray(emb, np.float32))
+        return np.vstack(out)
+
+    def _tokenize(self, texts: List[str]):
+        rows = [self.tokenizer.encode(t, add_special_tokens=False)
+                [: self.max_length] for t in texts]
+        lp = max(1, max(len(r) for r in rows))
+        lp = min(((lp + self.pad_multiple - 1) // self.pad_multiple)
+                 * self.pad_multiple, self.max_length)
+        ids = np.zeros((len(rows), lp), np.int32)
+        mask = np.zeros((len(rows), lp), np.int32)
+        for i, r in enumerate(rows):
+            r = r[:lp]
+            ids[i, :len(r)] = r
+            mask[i, :len(r)] = 1
+        return ids, mask

@@ -1,0 +1,269 @@
+"""Llama-class decoder, written functionally in JAX.
+
+TPU-native generator replacing the reference's HF ``AutoModelForCausalLM``
+(``content_generation.py:19-41``, ``SDAG.py:130-213``): RMSNorm, RoPE, GQA
+attention, SwiGLU MLP.  The prefill runs the SDAG block-sparse flash kernel
+when document metadata is given (plain causal when not); decode attends the
+whole KV cache causally, exactly matching the reference's decode semantics
+(``SDAG.py:191-208``).
+
+Parameters are a plain pytree (dict) so pjit sharding rules and HF weight
+conversion are simple data transformations (see parallel/sharding.py and
+models/hf_convert.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sdag_tpu.ops.attention import (causal_decode_attention,
+                                    sdag_prefill_attention)
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 512
+    d_model: int = 256
+    n_layers: int = 4
+    n_heads: int = 4
+    n_kv_heads: int = 2
+    d_ff: int = 512
+    rope_theta: float = 500000.0
+    norm_eps: float = 1e-5
+    dtype: Any = jnp.float32
+    tie_embeddings: bool = True
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+    @staticmethod
+    def tiny() -> "DecoderConfig":
+        return DecoderConfig(vocab_size=512, d_model=64, n_layers=2,
+                             n_heads=4, n_kv_heads=2, d_ff=128)
+
+    @staticmethod
+    def llama3_8b() -> "DecoderConfig":
+        """meta-llama/Llama-3.1-8B-Instruct geometry (reference
+        ``config.py:43``)."""
+        return DecoderConfig(vocab_size=128256, d_model=4096, n_layers=32,
+                             n_heads=32, n_kv_heads=8, d_ff=14336,
+                             rope_theta=500000.0, dtype=jnp.bfloat16,
+                             tie_embeddings=False)
+
+
+def init_decoder_params(key: jax.Array, cfg: DecoderConfig) -> Dict[str, Any]:
+    d, hd = cfg.d_model, cfg.head_dim
+    n_q, n_kv = cfg.n_heads, cfg.n_kv_heads
+    keys = jax.random.split(key, cfg.n_layers + 2)
+
+    def dense(k, shape):
+        scale = (shape[0]) ** -0.5
+        return (jax.random.normal(k, shape, jnp.float32) * scale
+                ).astype(cfg.dtype)
+
+    layers = []
+    for li in range(cfg.n_layers):
+        lk = jax.random.split(keys[li], 7)
+        layers.append({
+            "attn": {
+                "wq": dense(lk[0], (d, n_q * hd)),
+                "wk": dense(lk[1], (d, n_kv * hd)),
+                "wv": dense(lk[2], (d, n_kv * hd)),
+                "wo": dense(lk[3], (n_q * hd, d)),
+            },
+            "mlp": {
+                "gate": dense(lk[4], (d, cfg.d_ff)),
+                "up": dense(lk[5], (d, cfg.d_ff)),
+                "down": dense(lk[6], (cfg.d_ff, d)),
+            },
+            "ln1": jnp.ones((d,), cfg.dtype),
+            "ln2": jnp.ones((d,), cfg.dtype),
+        })
+
+    params: Dict[str, Any] = {
+        "embed": dense(keys[-2], (cfg.vocab_size, d)),
+        "layers": layers,
+        "final_norm": jnp.ones((d,), cfg.dtype),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = dense(keys[-1], (d, cfg.vocab_size))
+    return params
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """Rotary embedding.  x: [B, H, L, Dh]; positions: [B, L]."""
+    dh = x.shape[-1]
+    half = dh // 2
+    freqs = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    angles = positions[:, None, :, None].astype(jnp.float32) * freqs  # B1Lh
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    x1, x2 = x[..., :half], x[..., half:]
+    rot = jnp.concatenate([
+        x1 * cos - x2 * sin,
+        x2 * cos + x1 * sin,
+    ], axis=-1)
+    return rot.astype(x.dtype)
+
+
+def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    if n_rep == 1:
+        return x
+    return jnp.repeat(x, n_rep, axis=1)
+
+
+def _project_qkv(attn: Dict[str, jax.Array], x: jax.Array,
+                 cfg: DecoderConfig):
+    B, L, _ = x.shape
+    hd = cfg.head_dim
+    q = x @ attn["wq"]
+    k = x @ attn["wk"]
+    v = x @ attn["wv"]
+    q = q.reshape(B, L, cfg.n_heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, L, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, L, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
+    return q, k, v
+
+
+def _mlp(mlp: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
+    return (jax.nn.silu(x @ mlp["gate"]) * (x @ mlp["up"])) @ mlp["down"]
+
+
+def _unembed(params: Dict[str, Any], cfg: DecoderConfig, x: jax.Array):
+    if cfg.tie_embeddings:
+        return x @ params["embed"].T
+    return x @ params["lm_head"]
+
+
+def make_kv_cache(cfg: DecoderConfig, batch: int, size: int) -> Dict[str, Any]:
+    shape = (cfg.n_layers, batch, cfg.n_kv_heads, size, cfg.head_dim)
+    return {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
+
+
+def prefill(params: Dict[str, Any], cfg: DecoderConfig,
+            input_ids: jax.Array,
+            doc_id: Optional[jax.Array] = None,
+            nbr_bits: Optional[jax.Array] = None,
+            sys_user_len: Optional[jax.Array] = None,
+            valid_len: Optional[jax.Array] = None,
+            cache_size: Optional[int] = None,
+            attn_impl: str = "auto",
+            block_q: int = 128, block_k: int = 128,
+            ) -> Tuple[jax.Array, Dict[str, Any]]:
+    """Full-prompt forward.  input_ids: [B, L] right-padded.
+
+    With doc metadata -> SDAG block-sparse prefill; without -> plain causal
+    (doc_id all -1).  Returns (logits [B, L, V], kv cache sized cache_size).
+    """
+    B, L = input_ids.shape
+    cache_size = cache_size or L
+    if doc_id is None:
+        doc_id = jnp.full((B, L), -1, jnp.int32)
+    if nbr_bits is None:
+        nbr_bits = jnp.zeros((B, L), jnp.int32)
+    if sys_user_len is None:
+        sys_user_len = jnp.zeros((B,), jnp.int32)
+    if valid_len is None:
+        valid_len = jnp.full((B,), L, jnp.int32)
+
+    positions = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), (B, L))
+    x = params["embed"][input_ids].astype(cfg.dtype)
+
+    ks, vs = [], []
+    n_rep = cfg.n_heads // cfg.n_kv_heads
+    for layer in params["layers"]:
+        h = rms_norm(x, layer["ln1"], cfg.norm_eps)
+        q, k, v = _project_qkv(layer["attn"], h, cfg)
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+        ks.append(k)
+        vs.append(v)
+        attn_out = sdag_prefill_attention(
+            q, _repeat_kv(k, n_rep), _repeat_kv(v, n_rep),
+            doc_id, nbr_bits, sys_user_len, valid_len=valid_len,
+            impl=attn_impl, block_q=block_q, block_k=block_k)
+        attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, L, -1)
+        x = x + attn_out @ layer["attn"]["wo"]
+        x = x + _mlp(layer["mlp"], rms_norm(x, layer["ln2"], cfg.norm_eps))
+
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = _unembed(params, cfg, x).astype(jnp.float32)
+
+    cache = make_kv_cache(cfg, B, cache_size)
+    k_stack = jnp.stack(ks)  # [n_layers, B, Hkv, L, Dh]
+    v_stack = jnp.stack(vs)
+    cache = {
+        "k": jax.lax.dynamic_update_slice(cache["k"], k_stack.astype(cfg.dtype),
+                                          (0, 0, 0, 0, 0)),
+        "v": jax.lax.dynamic_update_slice(cache["v"], v_stack.astype(cfg.dtype),
+                                          (0, 0, 0, 0, 0)),
+    }
+    return logits, cache
+
+
+def decode_step(params: Dict[str, Any], cfg: DecoderConfig,
+                tokens: jax.Array,            # [B] current input token
+                positions: jax.Array,         # [B] true (RoPE) positions
+                cache: Dict[str, Any],
+                write_index,                   # scalar cache slot to write
+                cache_mask: jax.Array,        # [B, S] valid cache slots
+                ) -> Tuple[jax.Array, Dict[str, Any]]:
+    """One decode step.  Plain causal attention over all valid cache slots
+    (reference decode semantics — no isolation after prefill).
+
+    Returns (logits [B, V], updated cache).  cache_mask must already include
+    the slot being written.
+    """
+    B = tokens.shape[0]
+    x = params["embed"][tokens].astype(cfg.dtype)[:, None, :]  # [B, 1, d]
+    pos = positions[:, None]
+    n_rep = cfg.n_heads // cfg.n_kv_heads
+
+    new_k, new_v = cache["k"], cache["v"]
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["ln1"], cfg.norm_eps)
+        q, k, v = _project_qkv(layer["attn"], h, cfg)   # [B, H, 1, hd]
+        q = rope(q, pos, cfg.rope_theta)
+        k = rope(k, pos, cfg.rope_theta)
+
+        new_k = jax.lax.dynamic_update_slice(
+            new_k, k[None].astype(cfg.dtype), (li, 0, 0, write_index, 0))
+        new_v = jax.lax.dynamic_update_slice(
+            new_v, v[None].astype(cfg.dtype), (li, 0, 0, write_index, 0))
+
+        k_all = _repeat_kv(new_k[li], n_rep)
+        v_all = _repeat_kv(new_v[li], n_rep)
+        attn_out = _masked_decode_attention(q[:, :, 0, :], k_all, v_all,
+                                            cache_mask)
+        x = x + (attn_out.reshape(B, 1, -1) @ layer["attn"]["wo"])
+        x = x + _mlp(layer["mlp"], rms_norm(x, layer["ln2"], cfg.norm_eps))
+
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = _unembed(params, cfg, x)[:, 0, :].astype(jnp.float32)
+    return logits, {"k": new_k, "v": new_v}
+
+
+def _masked_decode_attention(q, k_cache, v_cache, cache_mask):
+    """q: [B, H, Dh]; caches [B, H, S, Dh]; cache_mask: [B, S] bool."""
+    Dh = q.shape[-1]
+    scores = jnp.einsum("bhd,bhjd->bhj", q, k_cache,
+                        preferred_element_type=jnp.float32) * Dh ** -0.5
+    scores = jnp.where(cache_mask[:, None, :], scores,
+                       jnp.finfo(jnp.float32).min * 0.5)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhj,bhjd->bhd", probs.astype(v_cache.dtype), v_cache)
+
+
+def count_params(params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))

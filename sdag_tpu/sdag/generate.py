@@ -1,0 +1,176 @@
+"""Generation engine: SDAG prefill + causal KV-cache decode.
+
+Replaces the reference's per-token Python decode loop
+(``SDAG.py:130-213``) and HF ``model.generate`` batch path
+(``content_generation.py:44-94``) with one jitted function per shape bucket:
+a single block-sparse prefill, then a ``jax.lax.while_loop`` decode with EOS
+early-exit, batched across queries (the reference runs ISO generation one
+query at a time, ``main.py:469-496``).
+
+Reference quirk fixed deliberately (SURVEY.md §7): the reference emits up to
+``max_new_tokens + 1`` tokens (``SDAG.py:181-191``); this engine emits at
+most ``max_new_tokens``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdag_tpu.models.llama import DecoderConfig, decode_step, prefill
+from sdag_tpu.ops.sampling import sample_tokens
+from sdag_tpu.sdag.spans import PromptPlan
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class Generator:
+    """Batched text generation with optional document isolation."""
+
+    def __init__(self, params, cfg: DecoderConfig, tokenizer,
+                 temperature: float = 0.0, top_p: float = 1.0,
+                 attn_impl: str = "auto", seed: int = 0,
+                 pad_multiple: int = 128) -> None:
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.temperature = float(temperature)
+        self.top_p = float(top_p)
+        self.attn_impl = attn_impl
+        self.pad_multiple = pad_multiple
+        self._key = jax.random.PRNGKey(seed)
+        self._compiled: Dict[Tuple[int, int, int], object] = {}
+
+    # ------------------------------------------------------------ public
+    def generate_plans(self, plans: Sequence[PromptPlan],
+                       doc_neighbors: Optional[Sequence] = None,
+                       max_new_tokens: int = 128) -> List[str]:
+        """ISO path: generate with document-isolation prefill."""
+        ids = [p.input_ids for p in plans]
+        metas = []
+        lp = _round_up(max(len(x) for x in ids), self.pad_multiple)
+        for i, p in enumerate(plans):
+            nbrs = doc_neighbors[i] if doc_neighbors is not None else None
+            metas.append(p.metadata(doc_neighbors=nbrs, pad_to=lp))
+        doc_id = np.stack([m[0] for m in metas])
+        nbr_bits = np.stack([m[1] for m in metas])
+        sys_user_len = np.asarray([m[2] for m in metas], np.int32)
+        return self._run(ids, doc_id, nbr_bits, sys_user_len, lp,
+                         max_new_tokens)
+
+    def generate_ids(self, ids: Sequence[np.ndarray],
+                     max_new_tokens: int = 128) -> List[str]:
+        """NO-ISO path: plain causal generation."""
+        lp = _round_up(max(len(x) for x in ids), self.pad_multiple)
+        b = len(ids)
+        doc_id = np.full((b, lp), -1, np.int32)
+        nbr_bits = np.zeros((b, lp), np.int32)
+        sys_user_len = np.zeros((b,), np.int32)
+        return self._run(ids, doc_id, nbr_bits, sys_user_len, lp,
+                         max_new_tokens)
+
+    # ----------------------------------------------------------- internal
+    def _run(self, ids: Sequence[np.ndarray], doc_id, nbr_bits, sys_user_len,
+             lp: int, max_new_tokens: int) -> List[str]:
+        b = len(ids)
+        batch_ids = np.full((b, lp), self.tokenizer.pad_token_id, np.int32)
+        valid_len = np.zeros((b,), np.int32)
+        for i, x in enumerate(ids):
+            batch_ids[i, :len(x)] = x
+            valid_len[i] = len(x)
+
+        fn = self._get_compiled(b, lp, max_new_tokens)
+        self._key, sub = jax.random.split(self._key)
+        out, lengths = fn(self.params, jnp.asarray(batch_ids),
+                          jnp.asarray(doc_id), jnp.asarray(nbr_bits),
+                          jnp.asarray(sys_user_len), jnp.asarray(valid_len),
+                          sub)
+        out = np.asarray(out)
+        lengths = np.asarray(lengths)
+        texts = []
+        for i in range(b):
+            toks = out[i, :lengths[i]]
+            texts.append(self.tokenizer.decode(
+                toks, skip_special_tokens=True).strip())
+        return texts
+
+    def _get_compiled(self, b: int, lp: int, max_new: int):
+        key = (b, lp, max_new)
+        if key not in self._compiled:
+            self._compiled[key] = self._build(lp, max_new)
+        return self._compiled[key]
+
+    def _build(self, lp: int, max_new: int):
+        cfg = self.cfg
+        eos = int(self.tokenizer.eos_token_id)
+        pad = int(self.tokenizer.pad_token_id)
+        temperature, top_p = self.temperature, self.top_p
+        attn_impl = self.attn_impl
+        cache_size = lp + max_new
+        block = 512 if lp % 512 == 0 else 128
+
+        @jax.jit
+        def run(params, input_ids, doc_id, nbr_bits, sys_user_len, valid_len,
+                key):
+            batch = input_ids.shape[0]
+            logits, cache = prefill(
+                params, cfg, input_ids, doc_id=doc_id, nbr_bits=nbr_bits,
+                sys_user_len=sys_user_len, valid_len=valid_len,
+                cache_size=cache_size, attn_impl=attn_impl,
+                block_q=block, block_k=block)
+            last = jnp.take_along_axis(
+                logits, (valid_len - 1)[:, None, None], axis=1)[:, 0, :]
+            key, sub = jax.random.split(key)
+            cur = sample_tokens(sub, last, temperature, top_p)
+
+            slot_iota = jnp.arange(cache_size, dtype=jnp.int32)[None, :]
+            base_mask = slot_iota < valid_len[:, None]
+
+            out0 = jnp.full((batch, max_new), pad, jnp.int32)
+            done0 = jnp.zeros((batch,), bool)
+            len0 = jnp.zeros((batch,), jnp.int32)
+
+            def cond(state):
+                t, _, _, _, done, _, _ = state
+                return (t < max_new) & jnp.logical_not(jnp.all(done))
+
+            def body(state):
+                t, out, cur, cache, done, lengths, key = state
+                out = jax.lax.dynamic_update_slice(
+                    out, jnp.where(done, pad, cur)[:, None], (0, t))
+                lengths = lengths + jnp.where(done, 0, 1)
+                done = done | (cur == eos)
+
+                def step(args):
+                    cur, cache, key, done = args
+                    mask = base_mask | ((slot_iota >= lp) &
+                                        (slot_iota <= lp + t))
+                    logits, cache = decode_step(
+                        params, cfg, cur, valid_len + t, cache,
+                        write_index=lp + t, cache_mask=mask)
+                    key, sub = jax.random.split(key)
+                    nxt = sample_tokens(sub, logits, temperature, top_p)
+                    nxt = jnp.where(done, eos, nxt)
+                    return nxt, cache, key
+
+                def skip(args):
+                    cur, cache, key, done = args
+                    return cur, cache, key
+
+                cur, cache, key = jax.lax.cond(
+                    (t + 1 < max_new) & jnp.logical_not(jnp.all(done)),
+                    step, skip, (cur, cache, key, done))
+                return t + 1, out, cur, cache, done, lengths, key
+
+            state = (jnp.int32(0), out0, cur, cache, done0, len0, key)
+            _, out, _, _, _, lengths, _ = jax.lax.while_loop(cond, body,
+                                                             state)
+            return out, lengths
+
+        return run

@@ -1,0 +1,59 @@
+"""E5 encoder tests: normalization, prefixing, mask invariance, determinism."""
+
+import jax
+import numpy as np
+import pytest
+
+from sdag_tpu.models.e5 import (E5Encoder, EncoderConfig, encoder_forward,
+                                init_encoder_params)
+from sdag_tpu.models.tokenizer import ByteTokenizer
+
+CFG = EncoderConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def enc():
+    params = init_encoder_params(jax.random.PRNGKey(0), CFG)
+    return E5Encoder(params, CFG, ByteTokenizer(), model_name="tiny-e5")
+
+
+def test_encode_normalized(enc):
+    emb = enc.encode(["hello world", "another text"], kind="passage")
+    assert emb.shape == (2, CFG.d_model)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
+
+
+def test_e5_prefix_changes_embedding(enc):
+    q = enc.encode(["same text"], kind="query")
+    p = enc.encode(["same text"], kind="passage")
+    r = enc.encode(["same text"], kind="raw")
+    assert np.abs(q - p).max() > 1e-6
+    assert np.abs(p - r).max() > 1e-6
+
+
+def test_padding_invariance(enc):
+    """Embedding must not depend on how much padding the batch forces."""
+    a = enc.encode(["short"], kind="passage")
+    b = enc.encode(["short", "x" * 300], kind="passage")[0:1]
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_batch_split_invariance(enc):
+    texts = [f"text number {i}" for i in range(7)]
+    full = enc.encode(texts, kind="passage", batch_size=7)
+    split = enc.encode(texts, kind="passage", batch_size=3)
+    np.testing.assert_allclose(full, split, atol=1e-4)
+
+
+def test_empty_input(enc):
+    emb = enc.encode([], kind="query")
+    assert emb.shape == (0, CFG.d_model)
+
+
+def test_similarity_sanity(enc):
+    """Identical texts are more similar than different ones."""
+    e = enc.encode(["the cat sat", "the cat sat", "quantum flux capacitor"],
+                   kind="passage")
+    same = float(e[0] @ e[1])
+    diff = float(e[0] @ e[2])
+    assert same > diff
