@@ -1,0 +1,185 @@
+"""Impact-scored BM25 over device-packed postings.
+
+TPU-native replacement for Lucene/Pyserini BM25 scoring
+(``src/pipeline/retrieval/sparse.py:36-108``): each document is packed as
+padded (term_id, impact) pairs where impact(t, d) is the full per-term BM25
+contribution precomputed at index-build time; query scoring is then a sparse
+dot product — a Pallas kernel streams doc tiles through VMEM, matches query
+terms on the VPU, and feeds the same running top-k merge as dense search.
+
+BM25 variant: Lucene's (as Anserini/Pyserini uses) —
+idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+tf_norm = tf / (tf + k1 * (1 - b + b * dl/avgdl)), defaults k1=0.9, b=0.4.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sdag_tpu.ops.topk import NEG_INF, _INT_MAX, _select_next
+
+PAD_TERM = -1
+
+
+def bm25_scores_xla(term_ids: jax.Array, impacts: jax.Array,
+                    q_terms: jax.Array, q_weights: jax.Array) -> jax.Array:
+    """Reference scoring (XLA): [Q, N] = sum of impacts where doc term
+    matches a query term, weighted by query-term multiplicity.
+
+    term_ids: [N, Lp] int32 (PAD_TERM padded); impacts: [N, Lp] f32;
+    q_terms: [Q, T] int32 (PAD_TERM padded); q_weights: [Q, T] f32.
+    """
+    match = (term_ids[None, :, :, None] == q_terms[:, None, None, :]) \
+        & (q_terms[:, None, None, :] != PAD_TERM)
+    contrib = impacts[None, :, :, None] * q_weights[:, None, None, :]
+    return jnp.sum(jnp.where(match, contrib, 0.0), axis=(2, 3))
+
+
+def _bm25_topk_kernel(valid_ref, qt_ref, qw_ref, terms_ref, impacts_ref,
+                      out_vals_ref, out_idx_ref, vals_scratch, idx_scratch,
+                      *, k: int, block_n: int, n_qterms: int):
+    """Grid: (num_n_tiles,).  Scores one doc tile against all queries and
+    merges into the running top-k (same merge as ops/topk.py)."""
+    j = pl.program_id(0)
+    num_tiles = pl.num_programs(0)
+    valid_n = valid_ref[0]
+
+    @pl.when(j == 0)
+    def _init():
+        vals_scratch[:] = jnp.full_like(vals_scratch, NEG_INF)
+        idx_scratch[:] = jnp.full_like(idx_scratch, _INT_MAX)
+
+    terms = terms_ref[:]      # [block_n, Lp] int32
+    impacts = impacts_ref[:]  # [block_n, Lp] f32
+    qp = vals_scratch.shape[0]
+
+    # scores [qp, block_n]: static loop over query-term slots.
+    scores = jnp.zeros((qp, terms.shape[0]), jnp.float32)
+    for t in range(n_qterms):
+        qt = qt_ref[:, t].reshape(qp, 1)          # [qp, 1]
+        qw = qw_ref[:, t].reshape(qp, 1)
+        # per-doc contribution of this query term: [block_n]
+        hit = (terms[None, :, :] == qt[:, :, None])  # [qp, block_n, Lp]
+        contrib = jnp.sum(jnp.where(hit, impacts[None], 0.0), axis=2)
+        scores = scores + jnp.where(qt != PAD_TERM, qw * contrib, 0.0)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    gcol = col + j * block_n
+    scores = jnp.where(gcol < valid_n, scores, NEG_INF)
+
+    cv = jnp.concatenate([vals_scratch[:], scores], axis=1)
+    ci = jnp.concatenate([idx_scratch[:], gcol], axis=1)
+    new_vals, new_idx = [], []
+    for _ in range(k):
+        m, sel, chosen = _select_next(cv, ci)
+        new_vals.append(m)
+        new_idx.append(sel)
+        cv = jnp.where(chosen, NEG_INF, cv)
+        ci = jnp.where(chosen, _INT_MAX, ci)
+    pad = vals_scratch.shape[1] - k
+    vals_row = jnp.concatenate(new_vals, axis=1)
+    idx_row = jnp.concatenate(new_idx, axis=1)
+    if pad:
+        vals_row = jnp.concatenate(
+            [vals_row, jnp.full((qp, pad), NEG_INF, jnp.float32)], axis=1)
+        idx_row = jnp.concatenate(
+            [idx_row, jnp.full((qp, pad), _INT_MAX, jnp.int32)], axis=1)
+    vals_scratch[:] = vals_row
+    idx_scratch[:] = idx_row
+
+    @pl.when(j == num_tiles - 1)
+    def _flush():
+        out_vals_ref[:] = vals_scratch[:]
+        out_idx_ref[:] = jnp.where(idx_scratch[:] == _INT_MAX, -1,
+                                   idx_scratch[:])
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_n", "interpret"))
+def bm25_topk(term_ids: jax.Array, impacts: jax.Array, q_terms: jax.Array,
+              q_weights: jax.Array, k: int, valid_n=None,
+              block_n: int = 512, interpret: bool = False
+              ) -> Tuple[jax.Array, jax.Array]:
+    """Fused BM25 scoring + top-k.  Returns (scores [Q,k], doc ids [Q,k]);
+    rows with no match get score 0 ranked naturally (Lucene returns only
+    matches; callers pad with ""/"NA"/-inf like the reference)."""
+    n, lp = term_ids.shape
+    q, t = q_terms.shape
+    if valid_n is None:
+        valid_n = n
+    valid_arr = jnp.asarray(valid_n, jnp.int32).reshape((1,))
+
+    qp = _round_up(max(q, 8), 8)
+    k_pad = _round_up(max(k, 128), 128)
+    n_pad = _round_up(n, block_n)
+    if qp != q:
+        q_terms = jnp.pad(q_terms, ((0, qp - q), (0, 0)),
+                          constant_values=PAD_TERM)
+        q_weights = jnp.pad(q_weights, ((0, qp - q), (0, 0)))
+    if n_pad != n:
+        term_ids = jnp.pad(term_ids, ((0, n_pad - n), (0, 0)),
+                           constant_values=PAD_TERM)
+        impacts = jnp.pad(impacts, ((0, n_pad - n), (0, 0)))
+
+    num_tiles = n_pad // block_n
+    grid_spec = pl.GridSpec(
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((qp, t), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qp, t), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, lp), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, lp), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qp, k_pad), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qp, k_pad), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((qp, k_pad), jnp.float32),
+            pltpu.VMEM((qp, k_pad), jnp.int32),
+        ],
+    )
+    out_vals, out_idx = pl.pallas_call(
+        functools.partial(_bm25_topk_kernel, k=k, block_n=block_n,
+                          n_qterms=t),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((qp, k_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(valid_arr, q_terms, q_weights, term_ids, impacts)
+    return out_vals[:q, :k], out_idx[:q, :k]
+
+
+def bm25_topk_dispatch(term_ids, impacts, q_terms, q_weights, k,
+                       valid_n=None, block_n: int = 512,
+                       use_pallas: bool | None = None):
+    """Pallas on TPU; XLA scoring + lax.top_k elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return bm25_topk(term_ids, impacts, q_terms, q_weights, k,
+                         valid_n=valid_n, block_n=block_n)
+    scores = bm25_scores_xla(term_ids, impacts, q_terms, q_weights)
+    if valid_n is not None:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < valid_n, scores, NEG_INF)
+    vals, idx = jax.lax.top_k(scores, k)
+    return vals, idx.astype(jnp.int32)

@@ -1,0 +1,261 @@
+"""Text analysis front-end for BM25: C++ library via ctypes, Python fallback.
+
+The C++ analyzer (``sdag_tpu/native/analyzer.cpp``) reproduces Lucene's
+EnglishAnalyzer chain (tokenize, lowercase, default English stopwords,
+Porter stemming) so device-side BM25 ranking matches a Lucene/Pyserini
+baseline at equal analysis.  It is compiled on first use with the baked-in
+toolchain; the pure-Python fallback implements the identical algorithm.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+_NATIVE_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_CPP = os.path.join(_NATIVE_DIR, "native", "analyzer.cpp")
+_SO = os.path.join(_NATIVE_DIR, "native", "libanalyzer.so")
+
+ENGLISH_STOPWORDS = frozenset({
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with"})
+
+
+def _build_native() -> Optional[str]:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_CPP):
+        return _SO
+    for cc in ("g++", "c++", "clang++"):
+        try:
+            subprocess.run(
+                [cc, "-O2", "-shared", "-fPIC", "-std=c++17", _CPP, "-o", _SO],
+                check=True, capture_output=True)
+            return _SO
+        except (FileNotFoundError, subprocess.CalledProcessError):
+            continue
+    return None
+
+
+class _NativeAnalyzer:
+    def __init__(self, so_path: str) -> None:
+        self.lib = ctypes.CDLL(so_path)
+        self.lib.analyze_batch.restype = ctypes.POINTER(ctypes.c_char)
+        self.lib.analyze_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        self.lib.analyzer_free.argtypes = [ctypes.POINTER(ctypes.c_char)]
+
+    def analyze_batch(self, texts: List[str]) -> List[List[str]]:
+        payload = "\x02".join(t.replace("\x01", " ").replace("\x02", " ")
+                              for t in texts).encode("utf-8")
+        out_len = ctypes.c_int64(0)
+        buf = self.lib.analyze_batch(payload, len(payload),
+                                     ctypes.byref(out_len))
+        try:
+            raw = ctypes.string_at(buf, out_len.value).decode(
+                "utf-8", errors="replace")
+        finally:
+            self.lib.analyzer_free(buf)
+        docs = raw.split("\x02")
+        return [[t for t in d.split("\x01") if t] for d in docs]
+
+
+# --------------------------------------------------------------------------
+# Pure-Python fallback: identical algorithm (tested for agreement with C++).
+# --------------------------------------------------------------------------
+_VOWELS = set("aeiou")
+
+
+class _PyPorter:
+    """Porter (1980) stemmer; mirrors native/analyzer.cpp step by step."""
+
+    def stem(self, w: str) -> str:
+        if len(w) <= 2:
+            return w
+        self.b = list(w)
+        self.k = len(w) - 1
+        self.j = 0
+        self._step1ab(); self._step1c(); self._step2(); self._step3()
+        self._step4(); self._step5()
+        return "".join(self.b[: self.k + 1])
+
+    def _cons(self, i):
+        c = self.b[i]
+        if c in _VOWELS:
+            return False
+        if c == "y":
+            return True if i == 0 else not self._cons(i - 1)
+        return True
+
+    def _m(self):
+        n = i = 0
+        while True:
+            if i > self.j:
+                return n
+            if not self._cons(i):
+                break
+            i += 1
+        i += 1
+        while True:
+            while True:
+                if i > self.j:
+                    return n
+                if self._cons(i):
+                    break
+                i += 1
+            i += 1
+            n += 1
+            while True:
+                if i > self.j:
+                    return n
+                if not self._cons(i):
+                    break
+                i += 1
+            i += 1
+
+    def _vowelinstem(self):
+        return any(not self._cons(i) for i in range(self.j + 1))
+
+    def _doublec(self, j):
+        return j >= 1 and self.b[j] == self.b[j - 1] and self._cons(j)
+
+    def _cvc(self, i):
+        if i < 2 or not self._cons(i) or self._cons(i - 1) \
+                or not self._cons(i - 2):
+            return False
+        return self.b[i] not in "wxy"
+
+    def _ends(self, s):
+        l = len(s)
+        if l > self.k + 1:
+            return False
+        if "".join(self.b[self.k - l + 1: self.k + 1]) != s:
+            return False
+        self.j = self.k - l
+        return True
+
+    def _setto(self, s):
+        self.b[self.j + 1:] = list(s)
+        self.k = self.j + len(s)
+
+    def _r(self, s):
+        if self._m() > 0:
+            self._setto(s)
+
+    def _step1ab(self):
+        if self.b[self.k] == "s":
+            if self._ends("sses"):
+                self.k -= 2
+            elif self._ends("ies"):
+                self._setto("i")
+            elif self.b[self.k - 1] != "s":
+                self.k -= 1
+        if self._ends("eed"):
+            if self._m() > 0:
+                self.k -= 1
+        elif (self._ends("ed") or self._ends("ing")) and self._vowelinstem():
+            self.k = self.j
+            if self._ends("at"):
+                self._setto("ate")
+            elif self._ends("bl"):
+                self._setto("ble")
+            elif self._ends("iz"):
+                self._setto("ize")
+            elif self._doublec(self.k):
+                self.k -= 1
+                if self.b[self.k] in "lsz":
+                    self.k += 1
+            elif self._m() == 1 and self._cvc(self.k):
+                self._setto("e")
+
+    def _step1c(self):
+        if self._ends("y") and self._vowelinstem():
+            self.b[self.k] = "i"
+
+    _S2 = [("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+           ("anci", "ance"), ("izer", "ize"), ("bli", "ble"), ("alli", "al"),
+           ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+           ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+           ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+           ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+           ("biliti", "ble"), ("logi", "log")]
+
+    def _step2(self):
+        for suf, rep in self._S2:
+            if self._ends(suf):
+                self._r(rep)
+                return
+
+    _S3 = [("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+           ("ical", "ic"), ("ful", ""), ("ness", "")]
+
+    def _step3(self):
+        for suf, rep in self._S3:
+            if self._ends(suf):
+                self._r(rep)
+                return
+
+    _S4 = ["al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+           "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive",
+           "ize"]
+
+    def _step4(self):
+        for suf in self._S4:
+            if self._ends(suf):
+                if suf == "ion" and not (self.j >= 0
+                                         and self.b[self.j] in "st"):
+                    continue
+                if self._m() > 1:
+                    self.k = self.j
+                return
+
+    def _step5(self):
+        self.j = self.k
+        if self.b[self.k] == "e":
+            a = self._m()
+            if a > 1 or (a == 1 and not self._cvc(self.k - 1)):
+                self.k -= 1
+        if self.b[self.k] == "l" and self._doublec(self.k) and self._m() > 1:
+            self.k -= 1
+
+
+class _PythonAnalyzer:
+    def __init__(self) -> None:
+        self._stemmer = _PyPorter()
+
+    def analyze_batch(self, texts: List[str]) -> List[List[str]]:
+        out = []
+        for text in texts:
+            toks = []
+            cur = []
+            for ch in text:
+                if ch.isascii() and ch.isalnum():
+                    cur.append(ch.lower())
+                else:
+                    if cur:
+                        toks.append("".join(cur))
+                        cur = []
+            if cur:
+                toks.append("".join(cur))
+            out.append([self._stemmer.stem(t) for t in toks
+                        if t not in ENGLISH_STOPWORDS])
+        return out
+
+
+_analyzer = None
+
+
+def get_analyzer(prefer_native: bool = True):
+    """Singleton analyzer: native C++ when buildable, else Python."""
+    global _analyzer
+    if _analyzer is None:
+        so = _build_native() if prefer_native else None
+        _analyzer = _NativeAnalyzer(so) if so else _PythonAnalyzer()
+    return _analyzer
+
+
+def analyze_texts(texts: List[str]) -> List[List[str]]:
+    return get_analyzer().analyze_batch(texts)

@@ -1,0 +1,219 @@
+"""Sparse (BM25) retrieval over a device-packed inverted representation.
+
+TPU-native replacement for the reference's Pyserini/Lucene path
+(``src/pipeline/retrieval/sparse.py:11-159``): the host-side C++ analyzer
+(retrieval/analyzer.py) reproduces Lucene's analysis chain; documents are
+packed as padded (term_id, impact) arrays in HBM; scoring + top-k run in a
+Pallas kernel (ops/bm25.py).  Queries with fewer than k matches are padded
+with ""/"NA"/-inf exactly like the reference (``sparse.py:99-102``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from sdag_tpu.datamodels import RetrievalBatch
+from sdag_tpu.ops.bm25 import PAD_TERM, bm25_topk_dispatch
+from sdag_tpu.retrieval.analyzer import analyze_texts
+from sdag_tpu.retrieval.retriever import Retriever
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class BM25Index:
+    """Packed impact-scored BM25 index (Lucene scoring variant, k1=0.9
+    b=0.4 Anserini defaults — reference ``config.py:89`` uses the Anserini
+    prebuilt wikipedia index with these)."""
+
+    def __init__(self, doc_tokens: List[List[str]], meta: List[Dict[str, Any]],
+                 k1: float = 0.9, b: float = 0.4,
+                 max_terms_per_doc: int = 256,
+                 max_query_terms: int = 32) -> None:
+        if len(doc_tokens) != len(meta):
+            raise ValueError("meta length must match docs")
+        self.meta = meta
+        self.k1, self.b = float(k1), float(b)
+        self.max_query_terms = max_query_terms
+        n = len(doc_tokens)
+        self.valid_n = n
+
+        # vocabulary + document frequency
+        self.vocab: Dict[str, int] = {}
+        df: List[int] = []
+        tf_rows: List[Dict[int, int]] = []
+        dls = np.zeros(n, np.float64)
+        for i, toks in enumerate(doc_tokens):
+            dls[i] = len(toks)
+            row: Dict[int, int] = {}
+            for t in toks:
+                tid = self.vocab.get(t)
+                if tid is None:
+                    tid = len(self.vocab)
+                    self.vocab[t] = tid
+                    df.append(0)
+                row[tid] = row.get(tid, 0) + 1
+            for tid in row:
+                df[tid] += 1
+            tf_rows.append(row)
+
+        df_arr = np.asarray(df, np.float64)
+        self.idf = np.log(1.0 + (n - df_arr + 0.5) / (df_arr + 0.5))
+        avgdl = dls.mean() if n else 1.0
+
+        lp = max((len(r) for r in tf_rows), default=1)
+        lp = min(_round_up(max(lp, 1), 128), _round_up(max_terms_per_doc, 128))
+        term_ids = np.full((n, lp), PAD_TERM, np.int32)
+        impacts = np.zeros((n, lp), np.float32)
+        for i, row in enumerate(tf_rows):
+            norm = self.k1 * (1.0 - self.b + self.b * dls[i] / avgdl)
+            items = [(tid, self.idf[tid] * tf / (tf + norm))
+                     for tid, tf in row.items()]
+            items.sort(key=lambda x: -x[1])  # keep highest-impact on overflow
+            for jcol, (tid, imp) in enumerate(items[:lp]):
+                term_ids[i, jcol] = tid
+                impacts[i, jcol] = imp
+        self.avgdl = float(avgdl)
+        self.term_ids = jnp.asarray(term_ids)
+        self.impacts = jnp.asarray(impacts)
+
+    # ------------------------------------------------------------- search
+    def encode_queries(self, queries: Sequence[str]
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """Analyzed query terms -> (term ids [Q, T], multiplicity weights)."""
+        toks_batch = analyze_texts(list(queries))
+        t_cap = self.max_query_terms
+        q_terms = np.full((len(queries), t_cap), PAD_TERM, np.int32)
+        q_weights = np.zeros((len(queries), t_cap), np.float32)
+        for i, toks in enumerate(toks_batch):
+            counts: Dict[int, int] = {}
+            for t in toks:
+                tid = self.vocab.get(t)
+                if tid is not None:
+                    counts[tid] = counts.get(tid, 0) + 1
+            for jcol, (tid, c) in enumerate(list(counts.items())[:t_cap]):
+                q_terms[i, jcol] = tid
+                q_weights[i, jcol] = c
+        return q_terms, q_weights
+
+    def search(self, queries: Sequence[str], top_k: int
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (indices [Q,k], scores [Q,k]); non-matching slots are
+        index -1 / score -inf (Lucene only returns matching docs)."""
+        q_terms, q_weights = self.encode_queries(queries)
+        vals, idx = bm25_topk_dispatch(
+            self.term_ids, self.impacts, jnp.asarray(q_terms),
+            jnp.asarray(q_weights), top_k, valid_n=self.valid_n)
+        vals = np.asarray(vals).copy()
+        idx = np.asarray(idx).copy()
+        no_hit = vals <= 0.0
+        idx[no_hit] = -1
+        vals[no_hit] = float("-inf")
+        return idx, vals
+
+    def materialize(self, indices, scores):
+        texts_b, ids_b, scores_b = [], [], []
+        for row_idx, row_sc in zip(indices, scores):
+            texts, ids_, scs = [], [], []
+            for idx, sc in zip(row_idx, row_sc):
+                if 0 <= idx < len(self.meta):
+                    texts.append(self.meta[idx].get("text", ""))
+                    ids_.append(str(self.meta[idx].get("id", "NA")))
+                    scs.append(float(sc))
+                else:
+                    texts.append("")
+                    ids_.append("NA")
+                    scs.append(float("-inf"))
+            texts_b.append(texts)
+            ids_b.append(ids_)
+            scores_b.append(scs)
+        return texts_b, ids_b, scores_b
+
+    # --------------------------------------------------------------- I/O
+    def save(self, index_dir: str) -> None:
+        os.makedirs(index_dir, exist_ok=True)
+        np.savez(os.path.join(index_dir, "postings.npz"),
+                 term_ids=np.asarray(self.term_ids),
+                 impacts=np.asarray(self.impacts), idf=self.idf)
+        with open(os.path.join(index_dir, "vocab.json"), "w") as f:
+            json.dump(self.vocab, f)
+        with open(os.path.join(index_dir, "meta.jsonl"), "w",
+                  encoding="utf-8") as f:
+            for m in self.meta:
+                f.write(json.dumps(m, ensure_ascii=False) + "\n")
+        with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+            json.dump({"k1": self.k1, "b": self.b, "avgdl": self.avgdl,
+                       "n": self.valid_n,
+                       "max_query_terms": self.max_query_terms}, f)
+
+    @classmethod
+    def load(cls, index_dir: str) -> "BM25Index":
+        obj = cls.__new__(cls)
+        data = np.load(os.path.join(index_dir, "postings.npz"))
+        obj.term_ids = jnp.asarray(data["term_ids"])
+        obj.impacts = jnp.asarray(data["impacts"])
+        obj.idf = data["idf"]
+        with open(os.path.join(index_dir, "vocab.json")) as f:
+            obj.vocab = json.load(f)
+        obj.meta = []
+        with open(os.path.join(index_dir, "meta.jsonl"), encoding="utf-8") as f:
+            for line in f:
+                if line.strip():
+                    obj.meta.append(json.loads(line))
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            man = json.load(f)
+        obj.k1, obj.b = man["k1"], man["b"]
+        obj.avgdl, obj.valid_n = man["avgdl"], man["n"]
+        obj.max_query_terms = man.get("max_query_terms", 32)
+        return obj
+
+    @classmethod
+    def from_texts(cls, texts: List[str], ids: List[str], **kw) -> "BM25Index":
+        tokens = analyze_texts(texts)
+        meta = [{"id": i, "text": t} for i, t in zip(ids, texts)]
+        return cls(tokens, meta, **kw)
+
+
+def bm25_score_reference(doc_tokens: List[List[str]],
+                         query_tokens: List[str], k1: float = 0.9,
+                         b: float = 0.4) -> np.ndarray:
+    """Plain-Python Lucene-BM25 scoring for parity tests."""
+    n = len(doc_tokens)
+    df: Dict[str, int] = {}
+    for toks in doc_tokens:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    dls = np.array([len(t) for t in doc_tokens], np.float64)
+    avgdl = dls.mean() if n else 1.0
+    scores = np.zeros(n)
+    from collections import Counter
+    q_counts = Counter(query_tokens)
+    for i, toks in enumerate(doc_tokens):
+        tf = Counter(toks)
+        norm = k1 * (1 - b + b * dls[i] / avgdl)
+        for t, qtf in q_counts.items():
+            if t in tf and t in df:
+                idf = np.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                scores[i] += qtf * idf * tf[t] / (tf[t] + norm)
+    return scores
+
+
+class SparseRetriever(Retriever):
+    """BM25 lexical retrieval (reference contract ``sparse.py:111-159``)."""
+
+    def __init__(self, index: BM25Index) -> None:
+        self.index = index
+
+    def retrieve_batch(self, queries: Sequence[str], max_k_needed: int,
+                       embed_batch_size: int) -> RetrievalBatch:
+        idx, scores = self.index.search(queries, top_k=max_k_needed)
+        texts, ids_, scs = self.index.materialize(idx, scores)
+        return RetrievalBatch(q_embs=[None] * len(queries),
+                              docs_texts_full=texts, ids_full=ids_,
+                              scores_full=scs)

@@ -1,0 +1,100 @@
+"""BM25 path: analyzer agreement, kernel vs reference scorer parity,
+retriever contract, save/load."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sdag_tpu.ops.bm25 import PAD_TERM, bm25_scores_xla, bm25_topk
+from sdag_tpu.retrieval.analyzer import (_build_native, _NativeAnalyzer,
+                                         _PythonAnalyzer, analyze_texts)
+from sdag_tpu.retrieval.sparse import (BM25Index, SparseRetriever,
+                                       bm25_score_reference)
+
+CORPUS = [
+    "The quick brown fox jumps over the lazy dog",
+    "A fast auburn fox leaped over sleeping hounds",
+    "Quantum computing uses qubits for parallel computation",
+    "Dogs are loyal companions and love running",
+    "The stock market closed higher on strong earnings",
+    "Foxes are small wild canines found worldwide",
+    "Machine learning models require training data",
+    "The lazy dog slept under the warm sun all day",
+]
+
+
+def test_native_python_analyzer_agree():
+    so = _build_native()
+    if so is None:
+        return  # toolchain unavailable; python fallback covers analysis
+    na = _NativeAnalyzer(so)
+    pa = _PythonAnalyzer()
+    assert na.analyze_batch(CORPUS) == pa.analyze_batch(CORPUS)
+
+
+def test_analyzer_stopwords_and_stemming():
+    out = analyze_texts(["The foxes are running and jumping"])[0]
+    assert "the" not in out and "are" not in out and "and" not in out
+    assert "fox" in out and "run" in out and "jump" in out
+
+
+def test_index_matches_reference_scorer():
+    index = BM25Index.from_texts(CORPUS, [f"d{i}" for i in range(len(CORPUS))])
+    queries = ["quick fox", "lazy dog sleeping", "quantum training data"]
+    doc_tokens = analyze_texts(CORPUS)
+    idx, scores = index.search(queries, top_k=4)
+    for qi, q in enumerate(queries):
+        q_toks = analyze_texts([q])[0]
+        ref = bm25_score_reference(doc_tokens, q_toks)
+        order = np.argsort(-ref, kind="stable")
+        matching = [int(i) for i in order if ref[i] > 0][:4]
+        got = [int(i) for i in idx[qi] if i >= 0]
+        assert got == matching, (q, got, matching)
+        for rank, d in enumerate(got):
+            np.testing.assert_allclose(scores[qi][rank], ref[d], rtol=1e-5)
+
+
+def test_kernel_interpret_matches_xla():
+    rng = np.random.default_rng(0)
+    n, lp, q, t = 300, 128, 5, 8
+    term_ids = rng.integers(0, 50, size=(n, lp)).astype(np.int32)
+    term_ids[:, 100:] = PAD_TERM
+    impacts = rng.random((n, lp)).astype(np.float32)
+    impacts[term_ids == PAD_TERM] = 0.0
+    q_terms = rng.integers(0, 50, size=(q, t)).astype(np.int32)
+    q_terms[:, 6:] = PAD_TERM
+    q_weights = np.ones((q, t), np.float32)
+    q_weights[q_terms == PAD_TERM] = 0.0
+
+    scores = np.asarray(bm25_scores_xla(
+        jnp.asarray(term_ids), jnp.asarray(impacts), jnp.asarray(q_terms),
+        jnp.asarray(q_weights)))
+    ref_idx = np.argsort(-scores, axis=1, kind="stable")[:, :5]
+    vals, idx = bm25_topk(jnp.asarray(term_ids), jnp.asarray(impacts),
+                          jnp.asarray(q_terms), jnp.asarray(q_weights), 5,
+                          block_n=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(scores, ref_idx, 1), rtol=1e-5)
+
+
+def test_short_results_padded_like_reference():
+    index = BM25Index.from_texts(CORPUS, [f"d{i}" for i in range(len(CORPUS))])
+    r = SparseRetriever(index)
+    batch = r.retrieve_batch(["quantum"], max_k_needed=5, embed_batch_size=1)
+    texts, ids_, scores = (batch.docs_texts_full[0], batch.ids_full[0],
+                           batch.scores_full[0])
+    assert len(texts) == 5
+    assert ids_[0] == "d2"
+    # only one doc matches 'quantum' -> rest padded ""/"NA"/-inf
+    assert texts[1] == "" and ids_[1] == "NA" and scores[1] == float("-inf")
+    assert batch.q_embs == [None]
+
+
+def test_index_save_load(tmp_path):
+    index = BM25Index.from_texts(CORPUS, [f"d{i}" for i in range(len(CORPUS))])
+    idx1, s1 = index.search(["fox jumps"], top_k=3)
+    index.save(str(tmp_path / "bm25"))
+    index2 = BM25Index.load(str(tmp_path / "bm25"))
+    idx2, s2 = index2.search(["fox jumps"], top_k=3)
+    np.testing.assert_array_equal(idx1, idx2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
