@@ -51,10 +51,17 @@ class Config:
     # --- models ------------------------------------------------------------
     RANKER_MODEL_NAME: str = "intfloat/e5-large-v2"
     LLM_MODEL_NAME: str = "meta-llama/Llama-3.1-8B-Instruct"
-    # Local checkpoint dirs (offline weight conversion); empty = random init of
-    # the named architecture at a configurable test scale.
+    # Local checkpoint dirs (offline weight conversion); empty = random init
+    # of the architecture named by *_ARCH below.
     RANKER_CHECKPOINT: str = ""
     LLM_CHECKPOINT: str = ""
+    # Architecture preset when no checkpoint: tiny | e5-large-v2 (ranker),
+    # tiny | llama3-8b (LLM).
+    RANKER_ARCH: str = "tiny"
+    LLM_ARCH: str = "tiny"
+    # Corpus JSONL ({"id":..., "text":...} per line) used to build indexes
+    # when no prebuilt index dir exists.
+    CORPUS_JSONL_PATH: str = ""
 
     # --- generation --------------------------------------------------------
     MAX_GEN_TOKENS_FALSE_ANSWER: int = 50

@@ -1,0 +1,165 @@
+"""Heavy-resource initialization: models, indexes, mesh.
+
+Mirrors the reference's ``init_resources`` (``main.py:201-243``) but
+TPU-native: the encoder/generator are JAX models (random-init at a named
+architecture, or converted from a local HF checkpoint), and the dense/sparse
+indexes are device-resident, built from a corpus JSONL when no prebuilt
+index dir exists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Tuple
+
+import jax
+
+from sdag_tpu.config import Config
+from sdag_tpu.core.mesh import make_index_mesh
+from sdag_tpu.datamodels import Resources
+from sdag_tpu.models.e5 import E5Encoder, EncoderConfig, init_encoder_params
+from sdag_tpu.models.llama import DecoderConfig, init_decoder_params
+from sdag_tpu.models.tokenizer import load_tokenizer
+from sdag_tpu.retrieval.dense import DenseIndex, DenseRetriever
+from sdag_tpu.retrieval.hybrid import HybridRetriever
+from sdag_tpu.retrieval.sparse import BM25Index, SparseRetriever
+from sdag_tpu.sdag.generate import Generator
+
+
+def _encoder_config(arch: str) -> EncoderConfig:
+    if arch == "e5-large-v2":
+        return EncoderConfig.e5_large_v2()
+    return EncoderConfig.tiny()
+
+
+def _decoder_config(arch: str) -> DecoderConfig:
+    if arch == "llama3-8b":
+        return DecoderConfig.llama3_8b()
+    return DecoderConfig.tiny()
+
+
+def load_corpus_jsonl(path: str) -> Tuple[List[str], List[str]]:
+    texts, ids = [], []
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            obj = json.loads(line)
+            ids.append(str(obj.get("id", len(ids))))
+            texts.append(str(obj.get("text", obj.get("contents", ""))))
+    return texts, ids
+
+
+def build_encoder(cfg: Config) -> E5Encoder:
+    enc_cfg = _encoder_config(cfg.RANKER_ARCH)
+    tok = load_tokenizer(cfg.RANKER_CHECKPOINT)
+    if cfg.RANKER_CHECKPOINT:
+        from sdag_tpu.models.hf_convert import load_encoder_checkpoint
+        params, enc_cfg = load_encoder_checkpoint(cfg.RANKER_CHECKPOINT)
+    else:
+        params = init_encoder_params(jax.random.PRNGKey(cfg.SEED), enc_cfg)
+    return E5Encoder(params, enc_cfg, tok, model_name=cfg.RANKER_MODEL_NAME)
+
+
+def build_generator(cfg: Config) -> Generator:
+    dec_cfg = _decoder_config(cfg.LLM_ARCH)
+    tok = load_tokenizer(cfg.LLM_CHECKPOINT)
+    if cfg.LLM_CHECKPOINT:
+        from sdag_tpu.models.hf_convert import load_decoder_checkpoint
+        params, dec_cfg = load_decoder_checkpoint(cfg.LLM_CHECKPOINT)
+    else:
+        params = init_decoder_params(jax.random.PRNGKey(cfg.SEED + 1),
+                                     dec_cfg)
+    return Generator(params, dec_cfg, tok, temperature=cfg.TEMPERATURE,
+                     top_p=cfg.TOP_P, seed=cfg.SEED)
+
+
+def init_resources(cfg: Config) -> Resources:
+    mesh = make_index_mesh()
+    encoder = build_encoder(cfg)
+    generator = build_generator(cfg)
+
+    dense_index = None
+    sparse_index = None
+    need_dense = cfg.RETRIEVER_BACKEND in {"dense", "sparse_and_dense"}
+    need_sparse = cfg.RETRIEVER_BACKEND in {"sparse", "sparse_and_dense"}
+
+    if need_dense:
+        if os.path.isdir(cfg.DENSE_INDEX_PATH):
+            print(f"[resources] loading dense index: {cfg.DENSE_INDEX_PATH}")
+            meta_path = cfg.META_JSONL_PATH \
+                if os.path.exists(cfg.META_JSONL_PATH) else None
+            dense_index = DenseIndex.load(cfg.DENSE_INDEX_PATH, mesh=mesh,
+                                          meta_path=meta_path)
+        elif cfg.CORPUS_JSONL_PATH:
+            print("[resources] building dense index from corpus "
+                  f"{cfg.CORPUS_JSONL_PATH}")
+            texts, ids = load_corpus_jsonl(cfg.CORPUS_JSONL_PATH)
+            dense_index = DenseIndex.from_texts(
+                texts, ids, encoder, mesh=mesh,
+                batch_size=cfg.BATCH_SIZE_EMBED_Q)
+            if cfg.DENSE_INDEX_PATH:
+                dense_index.save(cfg.DENSE_INDEX_PATH)
+        else:
+            raise FileNotFoundError(
+                f"No dense index at {cfg.DENSE_INDEX_PATH} and no "
+                "CORPUS_JSONL_PATH to build one")
+
+    if need_sparse:
+        sp = cfg.SPARSE_INDEX_NAME_OR_PATH
+        if sp and os.path.isdir(sp):
+            print(f"[resources] loading sparse index: {sp}")
+            sparse_index = BM25Index.load(sp)
+        elif cfg.CORPUS_JSONL_PATH:
+            print("[resources] building BM25 index from corpus "
+                  f"{cfg.CORPUS_JSONL_PATH}")
+            texts, ids = load_corpus_jsonl(cfg.CORPUS_JSONL_PATH)
+            sparse_index = BM25Index.from_texts(texts, ids, k1=cfg.BM25_K1,
+                                                b=cfg.BM25_B)
+            if sp:
+                sparse_index.save(sp)
+        else:
+            raise FileNotFoundError(
+                "No sparse index and no CORPUS_JSONL_PATH to build one")
+
+    return Resources(ranker=encoder, tokenizer=generator.tokenizer,
+                     generator=generator, dense_index=dense_index,
+                     sparse_index=sparse_index, mesh=mesh)
+
+
+def build_retriever(cfg: Config, res: Resources):
+    """Factory keyed on RETRIEVER_BACKEND (reference ``main.py:246-267``)."""
+    if cfg.RETRIEVER_BACKEND == "dense":
+        return DenseRetriever(res.ranker, res.dense_index)
+    if cfg.RETRIEVER_BACKEND == "sparse":
+        return SparseRetriever(res.sparse_index)
+    if cfg.RETRIEVER_BACKEND == "sparse_and_dense":
+        return HybridRetriever(DenseRetriever(res.ranker, res.dense_index),
+                               SparseRetriever(res.sparse_index),
+                               seed=cfg.SEED)
+    raise ValueError(f"Unknown RETRIEVER_BACKEND: {cfg.RETRIEVER_BACKEND}")
+
+
+def build_defense(cfg: Config, res: Resources):
+    """Factory keyed on DEFENSE_BACKEND (reference ``main.py:270-286``)."""
+    if cfg.DEFENSE_BACKEND == "none":
+        from sdag_tpu.defenses.none import NoDefense
+        return NoDefense()
+    if cfg.DEFENSE_BACKEND == "ragdefender":
+        from sdag_tpu.defenses.ragdefender import EmbeddingFilterDefense
+        return EmbeddingFilterDefense(res.ranker)
+    if cfg.DEFENSE_BACKEND == "discern_and_answer":
+        from sdag_tpu.defenses.discern import (DiscernAndAnswerDefense,
+                                               make_local_classifier,
+                                               make_openai_classifier)
+        if cfg.DISCERN_OPENAI_API_KEY:
+            classify = make_openai_classifier(
+                cfg.DISCERN_OPENAI_API_KEY, cfg.DISCERN_CLASSIFIER_MODEL,
+                cfg.DISCERN_CLASSIFY_TEMPERATURE)
+        else:
+            classify = make_local_classifier(res.generator)
+        return DiscernAndAnswerDefense(
+            classify, max_docs_to_classify=cfg.DISCERN_MAX_DOCS_TO_CLASSIFY)
+    raise ValueError(f"Unknown DEFENSE_BACKEND: {cfg.DEFENSE_BACKEND}")
