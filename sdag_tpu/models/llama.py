@@ -160,7 +160,8 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig,
             cache_size: Optional[int] = None,
             attn_impl: str = "auto",
             block_q: int = 128, block_k: int = 128,
-            ) -> Tuple[jax.Array, Dict[str, Any]]:
+            with_cache: bool = True,
+            ) -> Tuple[jax.Array, Optional[Dict[str, Any]]]:
     """Full-prompt forward.  input_ids: [B, L] right-padded.
 
     With doc metadata -> SDAG block-sparse prefill; without -> plain causal
@@ -187,8 +188,9 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig,
         q, k, v = _project_qkv(layer["attn"], h, cfg)
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
-        ks.append(k)
-        vs.append(v)
+        if with_cache:
+            ks.append(k)
+            vs.append(v)
         attn_out = sdag_prefill_attention(
             q, _repeat_kv(k, n_rep), _repeat_kv(v, n_rep),
             doc_id, nbr_bits, sys_user_len, valid_len=valid_len,
@@ -199,6 +201,9 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig,
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = _unembed(params, cfg, x).astype(jnp.float32)
+
+    if not with_cache:
+        return logits, None
 
     cache = make_kv_cache(cfg, B, cache_size)
     k_stack = jnp.stack(ks)  # [n_layers, B, Hkv, L, Dh]
