@@ -101,6 +101,9 @@ class Config:
 
     # --- output ------------------------------------------------------------
     OUTPUT_CSV_BASE: str = "attack_results"
+    # Resumable per-batch result logs (pipeline/resume.py): reruns with the
+    # same config skip completed query batches.
+    RESUME_LOGS: bool = False
 
     # --- TPU mesh ----------------------------------------------------------
     # Mesh axis sizes; 0 = use all local devices on the data axis.

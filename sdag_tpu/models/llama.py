@@ -161,6 +161,7 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig,
             attn_impl: str = "auto",
             block_q: int = 128, block_k: int = 128,
             with_cache: bool = True,
+            positions: Optional[jax.Array] = None,
             ) -> Tuple[jax.Array, Optional[Dict[str, Any]]]:
     """Full-prompt forward.  input_ids: [B, L] right-padded.
 
@@ -178,7 +179,14 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig,
     if valid_len is None:
         valid_len = jnp.full((B,), L, jnp.int32)
 
-    positions = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), (B, L))
+    if positions is None:
+        # RoPE positions count only *active* tokens so block-aligned hole
+        # padding (doc_id == -2, sdag/mask.py) does not shift downstream
+        # positions — aligned and unaligned layouts are numerically
+        # identical.
+        active = doc_id != -2
+        positions = jnp.maximum(
+            jnp.cumsum(active.astype(jnp.int32), axis=1) - 1, 0)
     x = params["embed"][input_ids].astype(cfg.dtype)
 
     ks, vs = [], []

@@ -23,11 +23,15 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+HOLE = -2  # inactive padding (block-aligned packing); see sdag/mask.py
+
+
 def _tile_mask(i, j, dq, dk, nbr_q, sys_user_len, valid_len):
     """Token-level SDAG attention rule for a [BQ, BK] tile.
 
-    i, j: global row/col indices; dq, dk: doc ids (-1 = non-doc);
+    i, j: global row/col indices; dq, dk: doc ids (-1 = non-doc, -2 = hole);
     nbr_q: neighbor bitmask of the q rows; sys_user_len/valid_len scalars.
+    Hole keys are never visible; hole rows behave causally (outputs unused).
     """
     causal = j <= i
     is_doc_q = dq >= 0
@@ -36,7 +40,8 @@ def _tile_mask(i, j, dq, dk, nbr_q, sys_user_len, valid_len):
     nbr = (dk >= 0) & (jnp.bitwise_and(
         jax.lax.shift_right_logical(nbr_q, jnp.maximum(dk, 0)), 1) == 1)
     doc_row = (causal & (same_doc | prefix)) | nbr
-    mask = (is_doc_q & doc_row) | (jnp.logical_not(is_doc_q) & causal)
+    nondoc_row = causal & (dk != HOLE)
+    mask = (is_doc_q & doc_row) | (jnp.logical_not(is_doc_q) & nondoc_row)
     return mask & (j < valid_len) & (i < valid_len)
 
 
@@ -66,12 +71,102 @@ def sdag_attention_reference(q, k, v, doc_id, nbr_bits, sys_user_len,
     return jax.vmap(one)(q, k, v, doc_id, nbr_bits, sys_user_len, valid_len)
 
 
-def _flash_kernel(sys_user_len, valid_len,
+BLOCK_SKIP, BLOCK_FULL, BLOCK_PARTIAL = 0, 1, 2
+
+
+def compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
+                        block_q: int, block_k: int):
+    """Classify every (q-block, kv-block) tile from O(L) metadata:
+
+    0 = SKIP (no visible pair — the kernel does no work),
+    1 = FULL (every pair visible — no per-token mask needed),
+    2 = PARTIAL (compute the token mask in-tile).
+
+    Classification is conservative toward PARTIAL: SKIP/FULL are exact
+    guarantees, heterogenous tiles fall back to PARTIAL.  This is the
+    splash-attention-style structure precompute, O(nQ*nK) cheap XLA work.
+    """
+    B, L = doc_id.shape
+    nq, nk = L // block_q, L // block_k
+    big = jnp.int32(2**30)
+
+    def one(did, nbr, sul, vl):
+        dqb = did.reshape(nq, block_q)
+        nbrb = nbr.reshape(nq, block_q)
+        q_min_d = dqb.min(1)
+        q_max_d = dqb.max(1)
+        q_homo_doc = (q_min_d == q_max_d) & (q_min_d >= 0)
+        # hole rows (-2) behave like non-doc (causal) rows
+        q_all_nondoc = q_max_d < 0
+        q_has_doc = q_max_d >= 0
+        q_has_nondoc = q_min_d < 0
+        q_doc_bits = jnp.bitwise_or.reduce(
+            jnp.where(dqb >= 0, jnp.left_shift(1, jnp.maximum(dqb, 0)), 0),
+            axis=1)
+        q_nbr_or = jnp.bitwise_or.reduce(nbrb, axis=1)
+        q_nbr_homo = nbrb[:, 0]
+        qmin_i = jnp.arange(nq, dtype=jnp.int32) * block_q
+        qmax_i = qmin_i + block_q - 1
+        q_any_valid = qmin_i < vl
+        q_all_valid = qmax_i < vl
+
+        dkb = did.reshape(nk, block_k)
+        k_min_d = dkb.min(1)
+        k_max_d = dkb.max(1)
+        k_homo_doc = (k_min_d == k_max_d) & (k_min_d >= 0)
+        # keys: holes are invisible, so "all nondoc" must exclude them
+        k_all_nondoc = (k_min_d == -1) & (k_max_d == -1)
+        k_all_active = k_min_d >= -1
+        k_any_active = k_max_d >= -1
+        k_doc_bits = jnp.bitwise_or.reduce(
+            jnp.where(dkb >= 0, jnp.left_shift(1, jnp.maximum(dkb, 0)), 0),
+            axis=1)
+        pos = jnp.arange(L, dtype=jnp.int32).reshape(nk, block_k)
+        k_nondoc_min_j = jnp.min(jnp.where(dkb == -1, pos, big), axis=1)
+        kmin_j = jnp.arange(nk, dtype=jnp.int32) * block_k
+        kmax_j = kmin_j + block_k - 1
+        k_any_valid = (kmin_j < vl) & k_any_active
+        k_all_valid = (kmax_j < vl) & k_all_active
+
+        causal_any = kmin_j[None, :] <= qmax_i[:, None]
+        same_any = (k_doc_bits[None, :] & q_doc_bits[:, None]) != 0
+        prefix_any = (k_nondoc_min_j < sul)[None, :]
+        nbr_any = (k_doc_bits[None, :] & q_nbr_or[:, None]) != 0
+        any_vis = q_any_valid[:, None] & k_any_valid[None, :] & (
+            (q_has_nondoc[:, None] & causal_any)
+            | (q_has_doc[:, None]
+               & ((causal_any & (prefix_any | same_any)) | nbr_any)))
+
+        below = kmax_j[None, :] <= qmin_i[:, None]
+        k_prefix_all = (k_all_nondoc & (kmax_j < sul))[None, :]
+        same_doc_homo = (q_homo_doc[:, None] & k_homo_doc[None, :]
+                         & (q_min_d[:, None] == k_min_d[None, :]))
+        nbr_full = (q_homo_doc[:, None] & k_homo_doc[None, :]
+                    & (jnp.bitwise_and(jax.lax.shift_right_logical(
+                        q_nbr_homo[:, None],
+                        jnp.maximum(k_min_d, 0)[None, :]), 1) == 1))
+        full = q_all_valid[:, None] & k_all_valid[None, :] & (
+            (q_all_nondoc[:, None] & below)
+            | (q_homo_doc[:, None] & k_prefix_all & below)
+            | (same_doc_homo & below)
+            | nbr_full)
+
+        return jnp.where(~any_vis, BLOCK_SKIP,
+                         jnp.where(full, BLOCK_FULL,
+                                   BLOCK_PARTIAL)).astype(jnp.int32)
+
+    return jax.vmap(one)(doc_id, nbr_bits,
+                         jnp.asarray(sys_user_len, jnp.int32),
+                         jnp.asarray(valid_len, jnp.int32))
+
+
+def _flash_kernel(kind, sys_user_len, valid_len,
                   q_ref, k_ref, v_ref, dq_ref, dk_ref, nbr_ref,
                   out_ref, m_scratch, l_scratch, acc_scratch,
                   *, block_q: int, block_k: int, scale: float):
-    """Grid: (B*H, nQ, nK) — kv innermost; online-softmax flash attention
-    with the SDAG mask computed in-tile from metadata."""
+    """Grid: (B*H, nQ, nK) — kv innermost; online-softmax flash attention.
+    `kind` selects SKIP / FULL (no mask work) / PARTIAL (in-tile SDAG mask
+    from metadata)."""
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -82,24 +177,26 @@ def _flash_kernel(sys_user_len, valid_len,
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    i = qi * block_q + jax.lax.broadcasted_iota(jnp.int32,
-                                                (block_q, block_k), 0)
-    j = ki * block_k + jax.lax.broadcasted_iota(jnp.int32,
-                                                (block_q, block_k), 1)
-    dq = dq_ref[0, :].reshape(block_q, 1)
-    dk = dk_ref[0, :].reshape(1, block_k)
-    nbr_q = nbr_ref[0, :].reshape(block_q, 1)
-    mask = _tile_mask(i, j, dq, dk, nbr_q, sys_user_len, valid_len)
-
-    # Skip tiles with no visible pairs entirely (block-sparsity win).
-    @pl.when(jnp.any(mask))
+    @pl.when(kind > BLOCK_SKIP)
     def _compute():
         # bf16 MXU inputs, f32 accumulate (standard flash precision).
         s = jax.lax.dot_general(
             q_ref[0].astype(jnp.bfloat16), k_ref[0].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        s = jnp.where(mask, s, -jnp.inf)
+
+        def apply_mask(s):
+            i = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            j = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            dq = dq_ref[0, :].reshape(block_q, 1)
+            dk = dk_ref[0, :].reshape(1, block_k)
+            nbr_q = nbr_ref[0, :].reshape(block_q, 1)
+            mask = _tile_mask(i, j, dq, dk, nbr_q, sys_user_len, valid_len)
+            return jnp.where(mask, s, -jnp.inf)
+
+        s = jax.lax.cond(kind == BLOCK_PARTIAL, apply_mask, lambda s: s, s)
 
         m_prev = m_scratch[:]
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -109,7 +206,7 @@ def _flash_kernel(sys_user_len, valid_len,
         safe_m = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
         alpha = jnp.where(jnp.isneginf(m_prev), 0.0,
                           jnp.exp(m_prev - safe_m))
-        p = jnp.where(mask, jnp.exp(s - safe_m), 0.0)
+        p = jnp.exp(s - safe_m)  # fully-masked entries: exp(-inf) == 0
 
         l_scratch[:] = l_scratch[:] * alpha + jnp.sum(p, axis=1,
                                                       keepdims=True)
@@ -153,6 +250,8 @@ def sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                  if valid_len is not None
                  else jnp.full((B,), L, jnp.int32))
     meta = jnp.stack([sys_user_len, valid_len], axis=1)  # [B, 2]
+    kinds = compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
+                                block_q, block_k)  # [B, nQ, nK]
 
     qf = q.reshape(B * H, L, Dh)
     kf = k.reshape(B * H, L, Dh)
@@ -161,24 +260,30 @@ def sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
     nq, nk = L // block_q, L // block_k
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B * H, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, block_q, Dh), lambda bh, qi, ki, meta: (bh, qi, 0),
+            pl.BlockSpec((1, block_q, Dh),
+                         lambda bh, qi, ki, meta, kinds: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, Dh), lambda bh, qi, ki, meta: (bh, ki, 0),
+            pl.BlockSpec((1, block_k, Dh),
+                         lambda bh, qi, ki, meta, kinds: (bh, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, Dh), lambda bh, qi, ki, meta: (bh, ki, 0),
+            pl.BlockSpec((1, block_k, Dh),
+                         lambda bh, qi, ki, meta, kinds: (bh, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda bh, qi, ki, meta: (bh // H, qi),
+            pl.BlockSpec((1, block_q),
+                         lambda bh, qi, ki, meta, kinds: (bh // H, qi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k), lambda bh, qi, ki, meta: (bh // H, ki),
+            pl.BlockSpec((1, block_k),
+                         lambda bh, qi, ki, meta, kinds: (bh // H, ki),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda bh, qi, ki, meta: (bh // H, qi),
+            pl.BlockSpec((1, block_q),
+                         lambda bh, qi, ki, meta, kinds: (bh // H, qi),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, Dh),
-                               lambda bh, qi, ki, meta: (bh, qi, 0),
+                               lambda bh, qi, ki, meta, kinds: (bh, qi, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -187,11 +292,13 @@ def sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
         ],
     )
 
-    def kernel(meta_smem, q_ref, k_ref, v_ref, dq_ref, dk_ref, nbr_ref,
-               out_ref, m_s, l_s, acc_s):
+    def kernel(meta_smem, kinds_smem, q_ref, k_ref, v_ref, dq_ref, dk_ref,
+               nbr_ref, out_ref, m_s, l_s, acc_s):
         bh = pl.program_id(0)
+        qi = pl.program_id(1)
+        ki = pl.program_id(2)
         b = bh // H
-        _flash_kernel(meta_smem[b, 0], meta_smem[b, 1],
+        _flash_kernel(kinds_smem[b, qi, ki], meta_smem[b, 0], meta_smem[b, 1],
                       q_ref, k_ref, v_ref, dq_ref, dk_ref,
                       nbr_ref, out_ref, m_s, l_s, acc_s,
                       block_q=block_q, block_k=block_k, scale=scale)
@@ -204,8 +311,196 @@ def sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(meta, qf, kf, vf, doc_id, doc_id, nbr_bits)
+    )(meta, kinds, qf, kf, vf, doc_id, doc_id, nbr_bits)
 
+    return out.reshape(B, H, L, Dh)
+
+
+def _pack_kv_lists(kinds: jax.Array):
+    """From block kinds [B, nQ, nK] build per-(b, q-block) worklists:
+    counts [B, nQ], kv indices [B, nQ, nK] (needed tiles packed to the
+    front in ascending kv order), and their kinds."""
+    needed = kinds > BLOCK_SKIP
+    order = jnp.argsort(~needed, axis=-1, stable=True)
+    kv_list = order.astype(jnp.int32)
+    kind_list = jnp.take_along_axis(kinds, order, axis=-1)
+    counts = jnp.sum(needed, axis=-1).astype(jnp.int32)
+    return counts, kv_list, kind_list
+
+
+def _splash_kernel(meta_ref, counts_ref, kvlist_ref, kindlist_ref,
+                   q_ref, k_hbm, v_hbm, dq_ref, dall_ref, nbr_ref,
+                   out_ref, k_buf, v_buf, sems, m_scratch, l_scratch,
+                   acc_scratch, *, block_q: int, block_k: int, scale: float,
+                   n_heads: int):
+    """Grid: (B*H, nQ).  Only the kv tiles on this q-block's worklist are
+    DMA'd from HBM (double-buffered) and computed — the splash design: block
+    sparsity saves bandwidth, not just MXU work."""
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    b = bh // n_heads
+    cnt = counts_ref[b, qi]
+    sys_user_len = meta_ref[b, 0]
+    valid_len = meta_ref[b, 1]
+
+    m_scratch[:] = jnp.full_like(m_scratch, -jnp.inf)
+    l_scratch[:] = jnp.zeros_like(l_scratch)
+    acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    def start_dma(slot, t):
+        kv_idx = kvlist_ref[b, qi, t]
+        start = kv_idx * block_k
+        pltpu.make_async_copy(
+            k_hbm.at[bh, pl.ds(start, block_k), :], k_buf.at[slot],
+            sems.at[slot, 0]).start()
+        pltpu.make_async_copy(
+            v_hbm.at[bh, pl.ds(start, block_k), :], v_buf.at[slot],
+            sems.at[slot, 1]).start()
+
+    def wait_dma(slot, t):
+        kv_idx = kvlist_ref[b, qi, t]
+        start = kv_idx * block_k
+        pltpu.make_async_copy(
+            k_hbm.at[bh, pl.ds(start, block_k), :], k_buf.at[slot],
+            sems.at[slot, 0]).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[bh, pl.ds(start, block_k), :], v_buf.at[slot],
+            sems.at[slot, 1]).wait()
+
+    @pl.when(cnt > 0)
+    def _run():
+        start_dma(0, 0)
+
+        def body(t, _):
+            slot = jax.lax.rem(t, 2)
+
+            @pl.when(t + 1 < cnt)
+            def _prefetch():
+                start_dma(jax.lax.rem(t + 1, 2), t + 1)
+
+            wait_dma(slot, t)
+            kv_idx = kvlist_ref[b, qi, t]
+            kind = kindlist_ref[b, qi, t]
+
+            s = jax.lax.dot_general(
+                q_ref[0].astype(jnp.bfloat16),
+                k_buf[slot].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+
+            def apply_mask(s):
+                i = qi * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0)
+                j = kv_idx * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1)
+                dq = dq_ref[0, :].reshape(block_q, 1)
+                dk = dall_ref[0, pl.ds(kv_idx * block_k, block_k)].reshape(
+                    1, block_k)
+                nbr_q = nbr_ref[0, :].reshape(block_q, 1)
+                mask = _tile_mask(i, j, dq, dk, nbr_q, sys_user_len,
+                                  valid_len)
+                return jnp.where(mask, s, -jnp.inf)
+
+            s = jax.lax.cond(kind == BLOCK_PARTIAL, apply_mask,
+                             lambda s: s, s)
+
+            m_prev = m_scratch[:]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            safe_m = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
+            alpha = jnp.where(jnp.isneginf(m_prev), 0.0,
+                              jnp.exp(m_prev - safe_m))
+            p = jnp.exp(s - safe_m)
+            l_scratch[:] = l_scratch[:] * alpha + jnp.sum(p, axis=1,
+                                                          keepdims=True)
+            acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v_buf[slot].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_scratch[:] = m_new
+            return 0
+
+        jax.lax.fori_loop(0, cnt, body, 0)
+
+    l = l_scratch[:]
+    out_ref[0, :] = (acc_scratch[:] /
+                     jnp.where(l == 0.0, 1.0, l)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "scale",
+                                             "interpret"))
+def sdag_splash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
+                          valid_len=None, block_q: int = 256,
+                          block_k: int = 256, scale: Optional[float] = None,
+                          interpret: bool = False):
+    """Splash-style SDAG flash attention: per-q-block worklists of needed kv
+    tiles, manual double-buffered HBM->VMEM DMA.  Bandwidth and compute both
+    scale with the *visible* attention area.
+
+    Same contract as sdag_flash_attention.
+    """
+    B, H, L, Dh = q.shape
+    scale = scale if scale is not None else Dh ** -0.5
+    block_q = min(block_q, L)
+    block_k = min(block_k, L)
+    if L % block_q or L % block_k:
+        raise ValueError(f"L={L} must be divisible by block sizes")
+
+    sys_user_len = jnp.broadcast_to(jnp.asarray(sys_user_len, jnp.int32),
+                                    (B,))
+    valid_len = (jnp.broadcast_to(jnp.asarray(valid_len, jnp.int32), (B,))
+                 if valid_len is not None
+                 else jnp.full((B,), L, jnp.int32))
+    meta = jnp.stack([sys_user_len, valid_len], axis=1)
+    kinds = compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
+                                block_q, block_k)
+    counts, kv_list, kind_list = _pack_kv_lists(kinds)
+
+    qf = q.reshape(B * H, L, Dh)
+    kf = k.reshape(B * H, L, Dh)
+    vf = v.reshape(B * H, L, Dh)
+    nq = L // block_q
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # meta, counts, kv_list, kind_list
+        grid=(B * H, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, Dh),
+                         lambda bh, qi, *_: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # k stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # v stays in HBM
+            pl.BlockSpec((1, block_q), lambda bh, qi, *_: (bh // H, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda bh, qi, *_: (bh // H, 0),
+                         memory_space=pltpu.VMEM),  # full doc_id row
+            pl.BlockSpec((1, block_q), lambda bh, qi, *_: (bh // H, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, Dh),
+                               lambda bh, qi, *_: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_k, Dh), q.dtype),
+            pltpu.VMEM((2, block_k, Dh), q.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, Dh), jnp.float32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_splash_kernel, block_q=block_q, block_k=block_k,
+                          scale=scale, n_heads=H),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * H, L, Dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(meta, counts, kv_list, kind_list, qf, kf, vf, doc_id, doc_id,
+      nbr_bits)
     return out.reshape(B, H, L, Dh)
 
 

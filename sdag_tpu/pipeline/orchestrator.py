@@ -104,13 +104,16 @@ def generate_iso_batch(cfg: Config, res: Resources, queries: List[str],
     neighbors = []
     for q, docs_ranked, mals in zip(queries, defended_docs_batch,
                                     survived_mals_batch):
+        block_align = getattr(res.generator, "block_align", 0)
         if cfg.ORACLE:
             plan = build_rag_prompt_plan(
                 res.tokenizer, q,
                 inject_malicious_docs_into_ranked_list(
-                    list(docs_ranked), list(mals), attacker_pos, rng=rng))
+                    list(docs_ranked), list(mals), attacker_pos, rng=rng),
+                block_align=block_align)
         else:
-            plan = build_rag_prompt_plan(res.tokenizer, q, list(docs_ranked))
+            plan = build_rag_prompt_plan(res.tokenizer, q, list(docs_ranked),
+                                         block_align=block_align)
         plans.append(plan)
         if cfg.DOC_NEIGHBORS_K and cfg.DOC_NEIGHBORS_K > 0:
             neighbors.append(compute_doc_knn_for_docs(
@@ -338,10 +341,25 @@ def run_experiment(cfg: Config,
     results_per_pair: Dict[Tuple[int, int], List[Dict[str, Any]]] = {
         (p.top_k, p.attacker_pos): [] for p in pairs}
 
+    resume_logs: Dict[Tuple[int, int], Any] = {}
+    if cfg.RESUME_LOGS:
+        from sdag_tpu.pipeline.resume import BatchResultLog
+        for p in pairs:
+            path = (f"{cfg.OUTPUT_CSV_BASE}_top_k={p.top_k}"
+                    f"_attacker_pos={p.attacker_pos}_rows.jsonl")
+            resume_logs[(p.top_k, p.attacker_pos)] = BatchResultLog(path)
+
     num_q = len(query_data)
     bs = cfg.BATCH_SIZE_EMBED_Q
     with maybe_profile():
         for i in range(0, num_q, bs):
+            batch_idx = i // bs
+            if resume_logs and all(
+                    log.is_done(batch_idx) for log in resume_logs.values()):
+                for key, log in resume_logs.items():
+                    results_per_pair[key].extend(log.rows_for(batch_idx))
+                print(f"[run] batch {batch_idx + 1}: resumed from log")
+                continue
             batch_qs = query_data.questions[i:i + bs]
             batch_gts = query_data.short_answers[i:i + bs]
             batch_qids = query_data.query_ids[i:i + bs]
@@ -394,6 +412,8 @@ def run_experiment(cfg: Config,
                         false_groups_batch=false_groups, rng=rng,
                         timer=timer)
                 results_per_pair[key].extend(rows)
+                if resume_logs:
+                    resume_logs[key].append_batch(batch_idx, rows)
 
     all_metrics: Dict[Tuple[int, int], Dict[str, Any]] = {}
     for pair in pairs:

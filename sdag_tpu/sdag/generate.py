@@ -36,7 +36,8 @@ class Generator:
     def __init__(self, params, cfg: DecoderConfig, tokenizer,
                  temperature: float = 0.0, top_p: float = 1.0,
                  attn_impl: str = "auto", seed: int = 0,
-                 pad_multiple: int = 128) -> None:
+                 pad_multiple: int = 128,
+                 block_align: Optional[int] = None) -> None:
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -44,6 +45,11 @@ class Generator:
         self.top_p = float(top_p)
         self.attn_impl = attn_impl
         self.pad_multiple = pad_multiple
+        if block_align is None:
+            # align doc segments to flash-kernel tiles on TPU so cross-doc
+            # tiles are exactly skippable (sdag/spans.py block_align)
+            block_align = 128 if jax.default_backend() == "tpu" else 0
+        self.block_align = block_align
         self._key = jax.random.PRNGKey(seed)
         self._compiled: Dict[Tuple[int, int, int], object] = {}
 
@@ -113,7 +119,10 @@ class Generator:
         temperature, top_p = self.temperature, self.top_p
         attn_impl = self.attn_impl
         cache_size = lp + max_new
-        block = 512 if lp % 512 == 0 else 128
+        if self.block_align:
+            block = self.block_align
+        else:
+            block = 512 if lp % 512 == 0 else 128
 
         @jax.jit
         def run(params, input_ids, doc_id, nbr_bits, sys_user_len, valid_len,
@@ -130,7 +139,16 @@ class Generator:
             cur = sample_tokens(sub, last, temperature, top_p)
 
             slot_iota = jnp.arange(cache_size, dtype=jnp.int32)[None, :]
-            base_mask = slot_iota < valid_len[:, None]
+            # hole tokens (block-aligned packing) are invisible in decode too
+            active = jnp.concatenate(
+                [doc_id != -2, jnp.ones((batch, max_new), bool)], axis=1)
+            base_mask = (slot_iota < valid_len[:, None]) & active
+            # RoPE positions of generated tokens continue the *active* token
+            # count (holes don't advance positions)
+            real_len = jnp.sum(
+                ((doc_id != -2) &
+                 (slot_iota[:, :lp] < valid_len[:, None])).astype(jnp.int32),
+                axis=1)
 
             out0 = jnp.full((batch, max_new), pad, jnp.int32)
             done0 = jnp.zeros((batch,), bool)
@@ -152,7 +170,7 @@ class Generator:
                     mask = base_mask | ((slot_iota >= lp) &
                                         (slot_iota <= lp + t))
                     logits, cache = decode_step(
-                        params, cfg, cur, valid_len + t, cache,
+                        params, cfg, cur, real_len + t, cache,
                         write_index=lp + t, cache_mask=mask)
                     key, sub = jax.random.split(key)
                     nxt = sample_tokens(sub, logits, temperature, top_p)

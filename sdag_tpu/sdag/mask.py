@@ -34,14 +34,23 @@ import numpy as np
 
 MAX_DOC_BLOCKS = 31  # neighbor sets are int32 bitmasks
 
+# doc_id sentinel for inactive "hole" tokens inserted by block-aligned
+# packing (sdag/spans.py): never visible as keys, rows unused.
+HOLE_DOC_ID = -2
+
 
 @dataclass(frozen=True)
 class BlockLayout:
-    """Token-level layout of an SDAG prompt."""
+    """Token-level layout of an SDAG prompt.
+
+    hole_spans mark inactive padding runs (block-aligned packing); they are
+    excluded from attention entirely.
+    """
     seq_len: int
     sys_user_len: int
     doc_token_spans: Tuple[Tuple[int, int], ...]  # [(start, end)) per doc
     qa_start: int
+    hole_spans: Tuple[Tuple[int, int], ...] = ()
 
     @property
     def num_docs(self) -> int:
@@ -126,6 +135,8 @@ def layout_to_metadata(
     if L < layout.seq_len:
         raise ValueError("pad_to smaller than seq_len")
     doc_id = np.full(L, -1, dtype=np.int32)
+    for s, e in layout.hole_spans:
+        doc_id[s:e] = HOLE_DOC_ID
     for d, (s, e) in enumerate(layout.doc_token_spans):
         doc_id[s:e] = d
     per_doc_bits = neighbors_to_bitmask(doc_neighbors, layout.num_docs)
@@ -151,7 +162,8 @@ def mask_from_metadata(doc_id: np.ndarray, nbr_bits: np.ndarray,
     prefix = (dk == -1) & (j < sys_user_len)
     nbr = (dk >= 0) & (((nbr_bits[:, None] >> np.maximum(dk, 0)) & 1) == 1)
     doc_row = (causal & (same_doc | prefix)) | nbr
-    mask = np.where(is_doc_q, doc_row, causal)
+    # non-doc rows are causal but never attend hole keys
+    mask = np.where(is_doc_q, doc_row, causal & (dk != HOLE_DOC_ID))
     if valid_len is not None:
         mask &= (j < valid_len) & (i < valid_len)
     return mask

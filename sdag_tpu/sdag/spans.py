@@ -37,6 +37,7 @@ def build_rag_prompt_plan(
     query: str,
     ranked_docs: Sequence[str],
     system_prompt: str = prompts.SYSTEM_PROMPT_RAG,
+    block_align: int = 0,
 ) -> PromptPlan:
     """Tokenize the RAG chat prompt segment-by-segment.
 
@@ -44,6 +45,13 @@ def build_rag_prompt_plan(
     [separator] [doc 1] ... [user text after passages + assistant header].
     Doc spans cover exactly the rendered ``- {doc}`` bullets; separators are
     non-doc (causal) tokens.
+
+    block_align > 0 enables block-aligned packing for the flash kernel: each
+    doc segment (with its trailing separator folded into the doc span) starts
+    on a multiple of ``block_align``, padded by inactive hole tokens that are
+    invisible to attention (sdag/mask.py HOLE_DOC_ID) — cross-doc tiles
+    become exactly skippable.  The rendered text is unchanged; only the
+    device layout differs.
     """
     docs = [d for d in ranked_docs if d and d.strip()]
 
@@ -64,26 +72,45 @@ def build_rag_prompt_plan(
 
     rendered_docs = [prompts.render_doc(d) for d in docs]
     sep = prompts.RAG_DOC_SEPARATOR
+    pad_id = int(getattr(tokenizer, "pad_token_id", 0) or 0)
 
     ids: List[int] = []
     spans: List[Tuple[int, int]] = []
+    holes: List[Tuple[int, int]] = []
+
+    def align() -> None:
+        if block_align > 0 and len(ids) % block_align:
+            pad = block_align - len(ids) % block_align
+            holes.append((len(ids), len(ids) + pad))
+            ids.extend([pad_id] * pad)
 
     ids.extend(tokenizer.encode(before, add_special_tokens=False))
     sys_user_len = len(ids)
+    align()
 
     for i, rd in enumerate(rendered_docs):
-        if i > 0:
-            ids.extend(tokenizer.encode(sep, add_special_tokens=False))
-        start = len(ids)
-        ids.extend(tokenizer.encode(rd, add_special_tokens=False))
-        spans.append((start, len(ids)))
+        if block_align > 0:
+            # separator folded into the preceding doc span so every doc
+            # segment starts exactly on a block boundary
+            start = len(ids)
+            seg = rd + (sep if i < len(rendered_docs) - 1 else "")
+            ids.extend(tokenizer.encode(seg, add_special_tokens=False))
+            spans.append((start, len(ids)))
+            align()
+        else:
+            if i > 0:
+                ids.extend(tokenizer.encode(sep, add_special_tokens=False))
+            start = len(ids)
+            ids.extend(tokenizer.encode(rd, add_special_tokens=False))
+            spans.append((start, len(ids)))
 
     qa_start = len(ids)
     ids.extend(tokenizer.encode(after, add_special_tokens=False))
 
     text = before + sep.join(rendered_docs) + after
     layout = BlockLayout(seq_len=len(ids), sys_user_len=sys_user_len,
-                         doc_token_spans=tuple(spans), qa_start=qa_start)
+                         doc_token_spans=tuple(spans), qa_start=qa_start,
+                         hole_spans=tuple(holes))
     return PromptPlan(input_ids=np.asarray(ids, np.int32), layout=layout,
                       ranked_docs=list(docs), text=text)
 

@@ -1,0 +1,95 @@
+"""Flash kernel parity (interpret mode) and block-kind classification
+soundness against the dense mask ground truth."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdag_tpu.ops.attention import (BLOCK_FULL, BLOCK_PARTIAL, BLOCK_SKIP,
+                                    compute_block_kinds,
+                                    sdag_attention_reference,
+                                    sdag_flash_attention)
+from sdag_tpu.sdag.mask import (BlockLayout, layout_to_metadata,
+                                mask_from_metadata)
+
+LAYOUTS = [
+    # (L, layout, neighbors)
+    (256, BlockLayout(230, 40, ((40, 80), (85, 130), (132, 180)), 185),
+     [[1], [], [0]]),
+    (256, BlockLayout(230, 40, ((40, 80), (85, 130), (132, 180)), 185),
+     None),
+    (256, BlockLayout(256, 16, ((16, 128), (128, 240)), 240), [[], []]),
+    (128, BlockLayout(100, 30, (), 30), None),  # no docs: plain causal
+]
+
+
+@pytest.mark.parametrize("L,layout,nbrs", LAYOUTS)
+@pytest.mark.parametrize("bq,bk", [(32, 32), (64, 32), (32, 64)])
+def test_block_kinds_sound(L, layout, nbrs, bq, bk):
+    doc_id, bits, sul = layout_to_metadata(layout, doc_neighbors=nbrs,
+                                           pad_to=L)
+    vl = layout.seq_len
+    dense = mask_from_metadata(doc_id, bits, sul, valid_len=vl)
+    kinds = np.asarray(compute_block_kinds(
+        jnp.asarray(doc_id[None]), jnp.asarray(bits[None]),
+        jnp.asarray([sul]), jnp.asarray([vl]), bq, bk))[0]
+    nq, nk = L // bq, L // bk
+    n_skip = n_full = 0
+    for qi in range(nq):
+        for ki in range(nk):
+            tile = dense[qi * bq:(qi + 1) * bq, ki * bk:(ki + 1) * bk]
+            kind = kinds[qi, ki]
+            if kind == BLOCK_SKIP:
+                assert not tile.any(), (qi, ki)
+                n_skip += 1
+            elif kind == BLOCK_FULL:
+                assert tile.all(), (qi, ki)
+                n_full += 1
+            else:
+                assert kind == BLOCK_PARTIAL
+    # classification actually fires (not everything partial)
+    if layout.num_docs >= 2:
+        assert n_skip > 0
+    assert n_full + n_skip > 0
+
+
+def test_flash_matches_reference_with_kinds():
+    rng = np.random.default_rng(0)
+    B, H, L, Dh = 2, 2, 256, 64
+    layout = BlockLayout(230, 40, ((40, 80), (85, 130), (132, 180)), 185)
+    doc_id, bits, sul = layout_to_metadata(layout, doc_neighbors=[[1], [], [0]],
+                                           pad_to=L)
+    doc_id = np.stack([doc_id] * B)
+    bits = np.stack([bits] * B)
+    q = rng.standard_normal((B, H, L, Dh)).astype(np.float32)
+    k = rng.standard_normal((B, H, L, Dh)).astype(np.float32)
+    v = rng.standard_normal((B, H, L, Dh)).astype(np.float32)
+    args = [jnp.asarray(x) for x in (q, k, v, doc_id, bits)]
+    sul_a = jnp.array([sul] * B)
+    vl_a = jnp.array([230] * B)
+    ref = np.asarray(sdag_attention_reference(*args, sys_user_len=sul_a,
+                                              valid_len=vl_a))
+    for bq, bk in [(64, 64), (128, 128), (64, 128)]:
+        out = np.asarray(sdag_flash_attention(
+            *args, sys_user_len=sul_a, valid_len=vl_a, block_q=bq,
+            block_k=bk, interpret=True))
+        d = np.abs(ref - out)[:, :, :230]
+        assert d.max() < 3e-2, (bq, bk, d.max())  # bf16 MXU path
+
+
+def test_flash_no_docs_equals_causal():
+    rng = np.random.default_rng(1)
+    B, H, L, Dh = 1, 2, 128, 32
+    q = rng.standard_normal((B, H, L, Dh)).astype(np.float32)
+    k = rng.standard_normal((B, H, L, Dh)).astype(np.float32)
+    v = rng.standard_normal((B, H, L, Dh)).astype(np.float32)
+    doc_id = np.full((B, L), -1, np.int32)
+    bits = np.zeros((B, L), np.int32)
+    args = [jnp.asarray(x) for x in (q, k, v, doc_id, bits)]
+    ref = np.asarray(sdag_attention_reference(
+        *args, sys_user_len=jnp.array([0]), valid_len=jnp.array([L])))
+    out = np.asarray(sdag_flash_attention(
+        *args, sys_user_len=jnp.array([0]), valid_len=jnp.array([L]),
+        block_q=64, block_k=64, interpret=True))
+    assert np.abs(ref - out).max() < 3e-2

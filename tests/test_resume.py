@@ -1,0 +1,54 @@
+"""Resumable batch result logs: crash-safe load, skip-completed reruns."""
+
+import json
+
+from sdag_tpu.pipeline.resume import BatchResultLog
+
+
+def test_log_roundtrip(tmp_path):
+    path = str(tmp_path / "rows.jsonl")
+    log = BatchResultLog(path)
+    assert not log.is_done(0)
+    log.append_batch(0, [{"query_id": "a"}, {"query_id": "b"}])
+    log.append_batch(1, [{"query_id": "c"}])
+
+    log2 = BatchResultLog(path)
+    assert log2.is_done(0) and log2.is_done(1) and not log2.is_done(2)
+    assert log2.rows_for(0) == [{"query_id": "a"}, {"query_id": "b"}]
+    assert log2.rows_for(1) == [{"query_id": "c"}]
+
+
+def test_incomplete_batch_discarded(tmp_path):
+    path = str(tmp_path / "rows.jsonl")
+    # simulate a crash: rows written but no done marker
+    with open(path, "w") as f:
+        f.write(json.dumps({"batch": 0, "row": {"query_id": "x"}}) + "\n")
+    log = BatchResultLog(path)
+    assert not log.is_done(0)
+    assert log.rows_for(0) == []
+
+
+def test_orchestrator_resume(tmp_path, monkeypatch):
+    """Second run with RESUME_LOGS skips generation entirely."""
+    import tests.test_pipeline_e2e as e2e
+    from sdag_tpu.pipeline import orchestrator
+
+    corpus_path, csv_path = e2e._write_inputs(tmp_path)
+    cfg = e2e._base_config(tmp_path, corpus_path, csv_path)
+    cfg.RESUME_LOGS = True
+    m1 = orchestrator.run_experiment(cfg)
+
+    calls = {"n": 0}
+    real = orchestrator.generate_iso_batch
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(orchestrator, "generate_iso_batch", spy)
+    m2 = orchestrator.run_experiment(cfg)
+    assert calls["n"] == 0, "resumed run must not regenerate"
+    assert m2[(3, 1)]["num_queries"] == m1[(3, 1)]["num_queries"]
+    k1 = m1[(3, 1)]["answer_match_stats"]["iso"]["ground_truth_match_rate"]
+    k2 = m2[(3, 1)]["answer_match_stats"]["iso"]["ground_truth_match_rate"]
+    assert k1 == k2
