@@ -44,11 +44,12 @@ class Generator:
         self.temperature = float(temperature)
         self.top_p = float(top_p)
         self.attn_impl = attn_impl
-        self.pad_multiple = pad_multiple
+        on_tpu = jax.default_backend() == "tpu"
+        # TPU: 512-wide kernel tiles win on grid/DMA overhead; align doc
+        # segments to 256 so block-kind skipping still fires inside them.
+        self.pad_multiple = 512 if on_tpu else pad_multiple
         if block_align is None:
-            # align doc segments to flash-kernel tiles on TPU so cross-doc
-            # tiles are exactly skippable (sdag/spans.py block_align)
-            block_align = 128 if jax.default_backend() == "tpu" else 0
+            block_align = 256 if on_tpu else 0
         self.block_align = block_align
         self._key = jax.random.PRNGKey(seed)
         self._compiled: Dict[Tuple[int, int, int], object] = {}
@@ -119,10 +120,7 @@ class Generator:
         temperature, top_p = self.temperature, self.top_p
         attn_impl = self.attn_impl
         cache_size = lp + max_new
-        if self.block_align:
-            block = self.block_align
-        else:
-            block = 512 if lp % 512 == 0 else 128
+        block = 512 if lp % 512 == 0 else (self.block_align or 128)
 
         @jax.jit
         def run(params, input_ids, doc_id, nbr_bits, sys_user_len, valid_len,
