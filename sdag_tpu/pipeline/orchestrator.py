@@ -74,8 +74,28 @@ def load_queries_unified(cfg: Config) -> QueryData:
     CSV in-pipeline, ``main.py:185-186``; samplers live in its offline CLI)."""
     if cfg.DATASET_NAME == "csv":
         qd = load_from_csv(cfg.CSV_INPUT_PATH)
-    elif cfg.DATASET_NAME in {"nq", "hotpotqa", "triviaqa", "json"}:
+    elif cfg.DATASET_NAME == "json":
         qd = load_sampled_queries_json(cfg.SAMPLED_QUERIES_JSON)
+    elif cfg.DATASET_NAME in {"nq", "natural_questions", "hotpotqa",
+                              "hotpot_qa", "triviaqa", "trivia_qa"}:
+        # samplers unified into ingest (the reference keeps them in its
+        # offline CLI only, main.py:185-186): cached JSON is used when
+        # present, otherwise the HF dataset is sampled fresh
+        import os as _os
+        if _os.path.exists(cfg.SAMPLED_QUERIES_JSON):
+            qd = load_sampled_queries_json(cfg.SAMPLED_QUERIES_JSON)
+        else:
+            from sdag_tpu.attack.poisoned_rag import SAMPLERS
+            rows = SAMPLERS[cfg.DATASET_NAME](
+                cfg.SAMPLE_SIZE or 1000, cfg.SEED, cfg.DATASET_SPLIT,
+                cfg.SAMPLED_QUERIES_JSON)
+            qd = QueryData(
+                query_ids=[str(r["id"]) for r in rows],
+                questions=[str(r["question"]) for r in rows],
+                short_answers=[[str(a) for a in r["short_answers"]]
+                               for r in rows],
+                false_answer_groups=None,
+                malicious_doc_groups=None)
     else:
         raise ValueError(f"Unknown DATASET_NAME: {cfg.DATASET_NAME}")
     if cfg.SAMPLE_SIZE and cfg.SAMPLE_SIZE > 0 and len(qd) > cfg.SAMPLE_SIZE:
