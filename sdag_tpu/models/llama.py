@@ -199,9 +199,9 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig,
         if with_cache:
             ks.append(k)
             vs.append(v)
+        # GQA handled inside the attention op (kv never repeated in memory)
         attn_out = sdag_prefill_attention(
-            q, _repeat_kv(k, n_rep), _repeat_kv(v, n_rep),
-            doc_id, nbr_bits, sys_user_len, valid_len=valid_len,
+            q, k, v, doc_id, nbr_bits, sys_user_len, valid_len=valid_len,
             impl=attn_impl, block_q=block_q, block_k=block_k)
         attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, L, -1)
         x = x + attn_out @ layer["attn"]["wo"]

@@ -47,10 +47,15 @@ def _tile_mask(i, j, dq, dk, nbr_q, sys_user_len, valid_len):
 
 def sdag_attention_reference(q, k, v, doc_id, nbr_bits, sys_user_len,
                              valid_len=None, scale: Optional[float] = None):
-    """Dense-mask reference attention (XLA).  q,k,v: [B, H, L, Dh];
-    doc_id/nbr_bits: [B, L]; sys_user_len: [B] or scalar.  Parity target for
-    the Pallas kernel and the CPU fallback path."""
+    """Dense-mask reference attention (XLA).  q: [B, H, L, Dh]; k/v may have
+    fewer (grouped) kv heads — repeated here; doc_id/nbr_bits: [B, L];
+    sys_user_len: [B] or scalar.  Parity target for the Pallas kernel and
+    the CPU fallback path."""
     B, H, L, Dh = q.shape
+    if k.shape[1] != H:
+        rep = H // k.shape[1]
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
     scale = scale if scale is not None else Dh ** -0.5
     sys_user_len = jnp.broadcast_to(jnp.asarray(sys_user_len), (B,))
     valid_len = (jnp.broadcast_to(jnp.asarray(valid_len), (B,))
@@ -236,9 +241,10 @@ def sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
     doc_id/nbr_bits: [B, L] int32; sys_user_len, valid_len: [B] int32.
     """
     B, H, L, Dh = q.shape
-    if k.shape[1] != H:
-        raise ValueError("repeat kv heads to H before calling (GQA handled "
-                         "by caller)")
+    n_kv = k.shape[1]
+    if H % n_kv:
+        raise ValueError(f"q heads {H} not a multiple of kv heads {n_kv}")
+    n_rep = H // n_kv
     scale = scale if scale is not None else Dh ** -0.5
     block_q = min(block_q, L)
     block_k = min(block_k, L)
@@ -254,8 +260,13 @@ def sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                                 block_q, block_k)  # [B, nQ, nK]
 
     qf = q.reshape(B * H, L, Dh)
-    kf = k.reshape(B * H, L, Dh)
-    vf = v.reshape(B * H, L, Dh)
+    # GQA: kv stays grouped; the BlockSpec maps each q head to its shared kv
+    # head (no repeat materialization, 1/n_rep the kv bandwidth).
+    kf = k.reshape(B * n_kv, L, Dh)
+    vf = v.reshape(B * n_kv, L, Dh)
+
+    def kv_index(bh, qi, ki, meta, kinds):
+        return ((bh // H) * n_kv + (bh % H) // n_rep, ki, 0)
 
     nq, nk = L // block_q, L // block_k
 
@@ -266,11 +277,9 @@ def sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
             pl.BlockSpec((1, block_q, Dh),
                          lambda bh, qi, ki, meta, kinds: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, Dh),
-                         lambda bh, qi, ki, meta, kinds: (bh, ki, 0),
+            pl.BlockSpec((1, block_k, Dh), kv_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, Dh),
-                         lambda bh, qi, ki, meta, kinds: (bh, ki, 0),
+            pl.BlockSpec((1, block_k, Dh), kv_index,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q),
                          lambda bh, qi, ki, meta, kinds: (bh // H, qi),
@@ -440,6 +449,9 @@ def sdag_splash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
     Same contract as sdag_flash_attention.
     """
     B, H, L, Dh = q.shape
+    if k.shape[1] != H:
+        k = jnp.repeat(k, H // k.shape[1], axis=1)
+        v = jnp.repeat(v, H // v.shape[1], axis=1)
     scale = scale if scale is not None else Dh ** -0.5
     block_q = min(block_q, L)
     block_k = min(block_k, L)
