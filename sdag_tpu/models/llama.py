@@ -21,7 +21,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from sdag_tpu.ops.attention import (causal_decode_attention,
+from sdag_tpu.ops.attention import (masked_decode_attention,
                                     sdag_prefill_attention)
 
 
@@ -257,25 +257,14 @@ def decode_step(params: Dict[str, Any], cfg: DecoderConfig,
 
         k_all = _repeat_kv(new_k[li], n_rep)
         v_all = _repeat_kv(new_v[li], n_rep)
-        attn_out = _masked_decode_attention(q[:, :, 0, :], k_all, v_all,
-                                            cache_mask)
+        attn_out = masked_decode_attention(q[:, :, 0, :], k_all, v_all,
+                                           cache_mask)
         x = x + (attn_out.reshape(B, 1, -1) @ layer["attn"]["wo"])
         x = x + _mlp(layer["mlp"], rms_norm(x, layer["ln2"], cfg.norm_eps))
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = _unembed(params, cfg, x)[:, 0, :].astype(jnp.float32)
     return logits, {"k": new_k, "v": new_v}
-
-
-def _masked_decode_attention(q, k_cache, v_cache, cache_mask):
-    """q: [B, H, Dh]; caches [B, H, S, Dh]; cache_mask: [B, S] bool."""
-    Dh = q.shape[-1]
-    scores = jnp.einsum("bhd,bhjd->bhj", q, k_cache,
-                        preferred_element_type=jnp.float32) * Dh ** -0.5
-    scores = jnp.where(cache_mask[:, None, :], scores,
-                       jnp.finfo(jnp.float32).min * 0.5)
-    probs = jax.nn.softmax(scores, axis=-1)
-    return jnp.einsum("bhj,bhjd->bhd", probs.astype(v_cache.dtype), v_cache)
 
 
 def count_params(params) -> int:

@@ -528,19 +528,24 @@ def sdag_prefill_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                                     valid_len=valid_len)
 
 
-def causal_decode_attention(q, k_cache, v_cache, cache_len):
+def masked_decode_attention(q, k_cache, v_cache, cache_mask):
     """Single-step decode attention over a KV cache.
 
-    q: [B, H, Dh]; k_cache/v_cache: [B, H, Lmax, Dh]; cache_len: [B] number
-    of valid cache entries (the new token's k/v must already be written).
-    Plain causal over the whole cache — reference decode semantics.
+    q: [B, H, Dh]; caches: [B, H, S, Dh]; cache_mask: [B, S] marks valid
+    slots (prompt tokens below valid_len, non-hole, plus written decode
+    slots).  Plain causal over the whole cache — reference decode semantics
+    (``SDAG.py:191-208``).
     """
-    B, H, Lmax, Dh = k_cache.shape
-    scale = Dh ** -0.5
+    Dh = q.shape[-1]
     scores = jnp.einsum("bhd,bhjd->bhj", q, k_cache,
-                        preferred_element_type=jnp.float32) * scale
-    pos = jax.lax.broadcasted_iota(jnp.int32, (B, 1, Lmax), 2)
-    mask = pos < cache_len[:, None, None]
-    scores = jnp.where(mask, scores, DEFAULT_MASK_VALUE)
+                        preferred_element_type=jnp.float32) * Dh ** -0.5
+    scores = jnp.where(cache_mask[:, None, :], scores, DEFAULT_MASK_VALUE)
     probs = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("bhj,bhjd->bhd", probs.astype(v_cache.dtype), v_cache)
+
+
+def causal_decode_attention(q, k_cache, v_cache, cache_len):
+    """masked_decode_attention with a simple length-based mask."""
+    Lmax = k_cache.shape[2]
+    mask = jnp.arange(Lmax, dtype=jnp.int32)[None, :] < cache_len[:, None]
+    return masked_decode_attention(q, k_cache, v_cache, mask)
