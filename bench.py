@@ -23,12 +23,25 @@ import numpy as np
 
 
 def bench_tpu_qps(q, c, k: int, iters: int = 50) -> float:
+    """bf16-resident corpus (recall@10 == 1.0 vs f32 exact on this data —
+    the MXU reduces f32 inputs to bf16 products anyway); arrays passed as
+    jit args (closures would ship the corpus as an HLO constant through the
+    remote-compile tunnel)."""
     import jax
     import jax.numpy as jnp
 
     from sdag_tpu.ops.topk import fused_topk_matmul
 
-    qj, cj = jnp.asarray(q), jnp.asarray(c)
+    qj = jnp.asarray(q)
+    cj = jnp.asarray(c, dtype=jnp.bfloat16)
+
+    # recall gate: bf16 storage must not change the top-k on this workload
+    _, i16 = fused_topk_matmul(qj[:64], cj, 10)
+    _, i32 = fused_topk_matmul(qj[:64], jnp.asarray(c), 10)
+    i16, i32 = np.asarray(i16), np.asarray(i32)
+    recall = np.mean([len(set(i16[r]) & set(i32[r])) / 10
+                      for r in range(i16.shape[0])])
+    assert recall >= 0.99, f"bf16 corpus recall@10 dropped to {recall}"
 
     @jax.jit
     def loop(qj, cj):

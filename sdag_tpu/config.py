@@ -47,6 +47,10 @@ class Config:
     # Directory holding the packed device index (embeddings + meta manifest).
     DENSE_INDEX_PATH: str = "dense.index"
     META_JSONL_PATH: str = "docs_meta.jsonl"
+    # HBM storage dtype for the embedding matrix: float32 | bfloat16
+    # (bf16 halves bandwidth; recall@10 parity holds on normalized E5
+    # embeddings — bench.py gates this).
+    DENSE_INDEX_DTYPE: str = "float32"
 
     # --- models ------------------------------------------------------------
     RANKER_MODEL_NAME: str = "intfloat/e5-large-v2"

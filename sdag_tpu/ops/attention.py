@@ -521,6 +521,8 @@ def sdag_prefill_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
     """Dispatch: Pallas flash kernel on TPU, XLA reference elsewhere."""
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas" and q.shape[2] % 128:
+        impl = "xla"  # unpadded lengths fall back to the dense-mask path
     if impl == "pallas":
         return sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                                     valid_len=valid_len, **kw)

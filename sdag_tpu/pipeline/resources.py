@@ -87,19 +87,23 @@ def init_resources(cfg: Config) -> Resources:
     need_sparse = cfg.RETRIEVER_BACKEND in {"sparse", "sparse_and_dense"}
 
     if need_dense:
+        import jax.numpy as jnp
+        idx_dtype = (jnp.bfloat16 if cfg.DENSE_INDEX_DTYPE == "bfloat16"
+                     else jnp.float32)
         if os.path.isdir(cfg.DENSE_INDEX_PATH):
             print(f"[resources] loading dense index: {cfg.DENSE_INDEX_PATH}")
             meta_path = cfg.META_JSONL_PATH \
                 if os.path.exists(cfg.META_JSONL_PATH) else None
             dense_index = DenseIndex.load(cfg.DENSE_INDEX_PATH, mesh=mesh,
-                                          meta_path=meta_path)
+                                          meta_path=meta_path,
+                                          dtype=idx_dtype)
         elif cfg.CORPUS_JSONL_PATH:
             print("[resources] building dense index from corpus "
                   f"{cfg.CORPUS_JSONL_PATH}")
             texts, ids = load_corpus_jsonl(cfg.CORPUS_JSONL_PATH)
             dense_index = DenseIndex.from_texts(
                 texts, ids, encoder, mesh=mesh,
-                batch_size=cfg.BATCH_SIZE_EMBED_Q)
+                batch_size=cfg.BATCH_SIZE_EMBED_Q, dtype=idx_dtype)
             if cfg.DENSE_INDEX_PATH:
                 dense_index.save(cfg.DENSE_INDEX_PATH)
         else:

@@ -108,8 +108,8 @@ class DenseIndex:
                        "block_n": self.block_n}, f)
 
     @classmethod
-    def load(cls, index_dir: str, mesh=None, meta_path: Optional[str] = None
-             ) -> "DenseIndex":
+    def load(cls, index_dir: str, mesh=None, meta_path: Optional[str] = None,
+             dtype: jnp.dtype = jnp.float32) -> "DenseIndex":
         emb = np.load(os.path.join(index_dir, "embeddings.npy"))
         meta = load_meta_jsonl(meta_path or os.path.join(index_dir, "meta.jsonl"))
         manifest_path = os.path.join(index_dir, "manifest.json")
@@ -117,17 +117,18 @@ class DenseIndex:
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 block_n = json.load(f).get("block_n", 1024)
-        return cls(emb, meta, mesh=mesh, block_n=block_n)
+        return cls(emb, meta, mesh=mesh, block_n=block_n, dtype=dtype)
 
     @classmethod
     def from_texts(cls, texts: List[str], ids: List[str], encoder,
-                   mesh=None, batch_size: int = 64, block_n: int = 1024
-                   ) -> "DenseIndex":
+                   mesh=None, batch_size: int = 64, block_n: int = 1024,
+                   dtype: jnp.dtype = jnp.float32) -> "DenseIndex":
         """Build the index by encoding passages (E5 'passage: ' rule lives in
         the encoder)."""
         emb = encoder.encode(texts, kind="passage", batch_size=batch_size)
         meta = [{"id": i, "text": t} for i, t in zip(ids, texts)]
-        return cls(np.asarray(emb), meta, mesh=mesh, block_n=block_n)
+        return cls(np.asarray(emb), meta, mesh=mesh, block_n=block_n,
+                   dtype=dtype)
 
 
 def load_meta_jsonl(path: str) -> List[Dict[str, Any]]:
