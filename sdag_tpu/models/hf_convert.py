@@ -77,6 +77,13 @@ def convert_llama_state_dict(sd: Dict[str, Any], cfg: DecoderConfig
 
 
 def decoder_config_from_hf(hf_cfg) -> DecoderConfig:
+    scaling = getattr(hf_cfg, "rope_scaling", None)
+    rope_scaling = None
+    if isinstance(scaling, dict) and scaling.get("rope_type") == "llama3":
+        rope_scaling = (float(scaling["factor"]),
+                        float(scaling["low_freq_factor"]),
+                        float(scaling["high_freq_factor"]),
+                        int(scaling["original_max_position_embeddings"]))
     return DecoderConfig(
         vocab_size=hf_cfg.vocab_size,
         d_model=hf_cfg.hidden_size,
@@ -88,6 +95,7 @@ def decoder_config_from_hf(hf_cfg) -> DecoderConfig:
         rope_theta=getattr(hf_cfg, "rope_theta", 10000.0),
         norm_eps=getattr(hf_cfg, "rms_norm_eps", 1e-5),
         tie_embeddings=getattr(hf_cfg, "tie_word_embeddings", False),
+        rope_scaling=rope_scaling,
     )
 
 

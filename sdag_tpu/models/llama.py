@@ -37,6 +37,9 @@ class DecoderConfig:
     norm_eps: float = 1e-5
     dtype: Any = jnp.float32
     tie_embeddings: bool = True
+    # HF "llama3" RoPE frequency scaling (Llama-3.1+): (factor,
+    # low_freq_factor, high_freq_factor, original_max_position). None = off.
+    rope_scaling: Optional[Tuple[float, float, float, int]] = None
 
     @property
     def head_dim(self) -> int:
@@ -54,7 +57,8 @@ class DecoderConfig:
         return DecoderConfig(vocab_size=128256, d_model=4096, n_layers=32,
                              n_heads=32, n_kv_heads=8, d_ff=14336,
                              rope_theta=500000.0, dtype=jnp.bfloat16,
-                             tie_embeddings=False)
+                             tie_embeddings=False,
+                             rope_scaling=(8.0, 1.0, 4.0, 8192))
 
 
 def init_decoder_params(key: jax.Array, cfg: DecoderConfig) -> Dict[str, Any]:
@@ -102,11 +106,27 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
 
 
-def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+def _llama3_scale_freqs(freqs: jax.Array, scaling) -> jax.Array:
+    """HF 'llama3' rope_type frequency rescaling (Llama-3.1)."""
+    factor, low_ff, high_ff, orig_max = scaling
+    low_wl = orig_max / low_ff
+    high_wl = orig_max / high_ff
+    wavelen = 2.0 * jnp.pi / freqs
+    scaled = jnp.where(wavelen > low_wl, freqs / factor, freqs)
+    smooth = (orig_max / wavelen - low_ff) / (high_ff - low_ff)
+    smoothed = (1.0 - smooth) / factor * freqs + smooth * freqs
+    is_medium = (wavelen <= low_wl) & (wavelen >= high_wl)
+    return jnp.where(is_medium, smoothed, scaled)
+
+
+def rope(x: jax.Array, positions: jax.Array, theta: float,
+         rope_scaling=None) -> jax.Array:
     """Rotary embedding.  x: [B, H, L, Dh]; positions: [B, L]."""
     dh = x.shape[-1]
     half = dh // 2
     freqs = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    if rope_scaling is not None:
+        freqs = _llama3_scale_freqs(freqs, rope_scaling)
     angles = positions[:, None, :, None].astype(jnp.float32) * freqs  # B1Lh
     cos, sin = jnp.cos(angles), jnp.sin(angles)
     x1, x2 = x[..., :half], x[..., half:]
@@ -194,8 +214,8 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig,
     for layer in params["layers"]:
         h = rms_norm(x, layer["ln1"], cfg.norm_eps)
         q, k, v = _project_qkv(layer["attn"], h, cfg)
-        q = rope(q, positions, cfg.rope_theta)
-        k = rope(k, positions, cfg.rope_theta)
+        q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+        k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
         if with_cache:
             ks.append(k)
             vs.append(v)
@@ -247,8 +267,8 @@ def decode_step(params: Dict[str, Any], cfg: DecoderConfig,
     for li, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["ln1"], cfg.norm_eps)
         q, k, v = _project_qkv(layer["attn"], h, cfg)   # [B, H, 1, hd]
-        q = rope(q, pos, cfg.rope_theta)
-        k = rope(k, pos, cfg.rope_theta)
+        q = rope(q, pos, cfg.rope_theta, cfg.rope_scaling)
+        k = rope(k, pos, cfg.rope_theta, cfg.rope_scaling)
 
         new_k = jax.lax.dynamic_update_slice(
             new_k, k[None].astype(cfg.dtype), (li, 0, 0, write_index, 0))

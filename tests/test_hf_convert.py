@@ -64,3 +64,28 @@ def test_bert_encoder_parity():
     ref = (hf_out * m).sum(1) / m.sum(1)
     ref = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
     np.testing.assert_allclose(our_emb, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_llama31_rope_scaling_parity():
+    """HF 'llama3' rope scaling (Llama-3.1) must match numerically."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+    hf_cfg = LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=500000.0,
+        tie_word_embeddings=False, attn_implementation="eager",
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 64})
+    torch.manual_seed(1)
+    model = LlamaForCausalLM(hf_cfg).eval()
+    cfg = decoder_config_from_hf(hf_cfg)
+    assert cfg.rope_scaling == (8.0, 1.0, 4.0, 64)
+    params = convert_llama_state_dict(model.state_dict(), cfg)
+    ids = np.arange(1, 97, dtype=np.int64).reshape(1, 96) % 250
+    with torch.no_grad():
+        hf_logits = model(input_ids=torch.tensor(ids)).logits.numpy()
+    our_logits, _ = prefill(params, cfg, jnp.asarray(ids, jnp.int32),
+                            with_cache=False, attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(our_logits), hf_logits,
+                               atol=2e-3, rtol=1e-3)
