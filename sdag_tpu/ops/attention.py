@@ -165,7 +165,7 @@ def compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
                          jnp.asarray(valid_len, jnp.int32))
 
 
-def _flash_kernel(kind, sys_user_len, valid_len,
+def _flash_kernel(b, kind, sys_user_len, valid_len,
                   q_ref, k_ref, v_ref, dq_ref, dk_ref, nbr_ref,
                   out_ref, m_scratch, l_scratch, acc_scratch,
                   *, block_q: int, block_k: int, scale: float):
@@ -195,9 +195,11 @@ def _flash_kernel(kind, sys_user_len, valid_len,
                 jnp.int32, (block_q, block_k), 0)
             j = ki * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
-            dq = dq_ref[0, :].reshape(block_q, 1)
-            dk = dk_ref[0, :].reshape(1, block_k)
-            nbr_q = nbr_ref[0, :].reshape(block_q, 1)
+            # metadata blocks carry the whole batch dim (TPU tiling needs
+            # the sublane dim to match the array); select row b dynamically
+            dq = dq_ref[b, :].reshape(block_q, 1)
+            dk = dk_ref[b, :].reshape(1, block_k)
+            nbr_q = nbr_ref[b, :].reshape(block_q, 1)
             mask = _tile_mask(i, j, dq, dk, nbr_q, sys_user_len, valid_len)
             return jnp.where(mask, s, -jnp.inf)
 
@@ -281,14 +283,16 @@ def sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, Dh), kv_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q),
-                         lambda bh, qi, ki, meta, kinds: (bh // H, qi),
+            # metadata blocks keep the full batch dim: TPU tiling requires
+            # the sublane dim be divisible by 8 or equal the array dim
+            pl.BlockSpec((B, block_q),
+                         lambda bh, qi, ki, meta, kinds: (0, qi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k),
-                         lambda bh, qi, ki, meta, kinds: (bh // H, ki),
+            pl.BlockSpec((B, block_k),
+                         lambda bh, qi, ki, meta, kinds: (0, ki),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q),
-                         lambda bh, qi, ki, meta, kinds: (bh // H, qi),
+            pl.BlockSpec((B, block_q),
+                         lambda bh, qi, ki, meta, kinds: (0, qi),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, Dh),
@@ -307,7 +311,8 @@ def sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
         qi = pl.program_id(1)
         ki = pl.program_id(2)
         b = bh // H
-        _flash_kernel(kinds_smem[b, qi, ki], meta_smem[b, 0], meta_smem[b, 1],
+        _flash_kernel(b, kinds_smem[b, qi, ki],
+                      meta_smem[b, 0], meta_smem[b, 1],
                       q_ref, k_ref, v_ref, dq_ref, dk_ref,
                       nbr_ref, out_ref, m_s, l_s, acc_s,
                       block_q=block_q, block_k=block_k, scale=scale)
@@ -402,10 +407,10 @@ def _splash_kernel(meta_ref, counts_ref, kvlist_ref, kindlist_ref,
                     jnp.int32, (block_q, block_k), 0)
                 j = kv_idx * block_k + jax.lax.broadcasted_iota(
                     jnp.int32, (block_q, block_k), 1)
-                dq = dq_ref[0, :].reshape(block_q, 1)
-                dk = dall_ref[0, pl.ds(kv_idx * block_k, block_k)].reshape(
+                dq = dq_ref[b, :].reshape(block_q, 1)
+                dk = dall_ref[b, pl.ds(kv_idx * block_k, block_k)].reshape(
                     1, block_k)
-                nbr_q = nbr_ref[0, :].reshape(block_q, 1)
+                nbr_q = nbr_ref[b, :].reshape(block_q, 1)
                 mask = _tile_mask(i, j, dq, dk, nbr_q, sys_user_len,
                                   valid_len)
                 return jnp.where(mask, s, -jnp.inf)
@@ -482,11 +487,11 @@ def sdag_splash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # k stays in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),   # v stays in HBM
-            pl.BlockSpec((1, block_q), lambda bh, qi, *_: (bh // H, qi),
+            pl.BlockSpec((B, block_q), lambda bh, qi, *_: (0, qi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda bh, qi, *_: (bh // H, 0),
-                         memory_space=pltpu.VMEM),  # full doc_id row
-            pl.BlockSpec((1, block_q), lambda bh, qi, *_: (bh // H, qi),
+            pl.BlockSpec((B, L), lambda bh, qi, *_: (0, 0),
+                         memory_space=pltpu.VMEM),  # full doc_id rows
+            pl.BlockSpec((B, block_q), lambda bh, qi, *_: (0, qi),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, Dh),

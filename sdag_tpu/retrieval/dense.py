@@ -97,7 +97,9 @@ class DenseIndex:
     def save(self, index_dir: str) -> None:
         """Persist as embeddings.npy + meta.jsonl (shard-manifest style)."""
         os.makedirs(index_dir, exist_ok=True)
-        emb = np.asarray(self.embeddings)[: self.valid_n]
+        # always persist float32 (bf16 is an HBM storage choice, and numpy
+        # round-trips ml_dtypes poorly)
+        emb = np.asarray(self.embeddings[: self.valid_n].astype(jnp.float32))
         np.save(os.path.join(index_dir, "embeddings.npy"), emb)
         with open(os.path.join(index_dir, "meta.jsonl"), "w",
                   encoding="utf-8") as f:
