@@ -180,3 +180,22 @@ def test_generator_block_align_same_output(params):
     # doc span, so isolation semantics differ only for separator tokens;
     # with two docs the first doc's separator is inside its own span.
     assert out0 == out1
+
+
+def test_generator_batch_mixed_doc_counts(params):
+    """Batched ISO generation with different doc counts per example."""
+    tok = ByteTokenizer()
+    gen = Generator(params, CFG, tok, temperature=0.0)
+    plans = [
+        build_rag_prompt_plan(tok, "q one?", ["d1 text", "d2 text", "d3"]),
+        build_rag_prompt_plan(tok, "q two?", ["single document"]),
+    ]
+    nbrs = [[[1], [0], []], None]  # neighbors only for the first example
+    outs = gen.generate_plans(plans, doc_neighbors=nbrs, max_new_tokens=6)
+    assert len(outs) == 2
+    # batch result must equal per-example results (padding/batching is
+    # semantically inert under greedy decoding)
+    solo0 = gen.generate_plans([plans[0]], doc_neighbors=[nbrs[0]],
+                               max_new_tokens=6)[0]
+    solo1 = gen.generate_plans([plans[1]], max_new_tokens=6)[0]
+    assert outs == [solo0, solo1]
