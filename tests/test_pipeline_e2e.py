@@ -163,3 +163,17 @@ def test_e2e_generation_content(tmp_path):
     cfg.OUTPUT_CSV_BASE = str(tmp_path / "outg" / "results")
     metrics = run_experiment(cfg)
     assert metrics[(3, 1)]["num_queries"] == 1
+
+
+def test_e2e_random_order_shuffles(tmp_path):
+    """RANKED_LIST_ORDER_IN_PROMPT='random' repeats each query
+    NUM_RANDOM_SHUFFLES times (reference main.py:289-301, 466)."""
+    corpus_path, csv_path = _write_inputs(tmp_path)
+    cfg = _base_config(tmp_path, corpus_path, csv_path)
+    cfg.RANKED_LIST_ORDER_IN_PROMPT = "random"
+    cfg.NUM_RANDOM_SHUFFLES = 2
+    cfg.MAX_GEN_TOKENS_RAG = 4
+    cfg.OUTPUT_CSV_BASE = str(tmp_path / "outs" / "results")
+    metrics = run_experiment(cfg)
+    # 2 queries x 2 shuffles = 4 result rows
+    assert metrics[(3, 1)]["num_queries"] == 4
