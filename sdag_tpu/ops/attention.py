@@ -203,7 +203,10 @@ def _flash_kernel(b, kind, sys_user_len, valid_len,
             mask = _tile_mask(i, j, dq, dk, nbr_q, sys_user_len, valid_len)
             return jnp.where(mask, s, -jnp.inf)
 
-        s = jax.lax.cond(kind == BLOCK_PARTIAL, apply_mask, lambda s: s, s)
+        # Measured on v5e: applying the mask unconditionally is faster than
+        # branching on FULL tiles (Mosaic's lax.cond costs more than the
+        # VPU mask work it would save); kinds are used for SKIP only here.
+        s = apply_mask(s)
 
         m_prev = m_scratch[:]
         m_cur = jnp.max(s, axis=1, keepdims=True)

@@ -177,3 +177,21 @@ def test_e2e_random_order_shuffles(tmp_path):
     metrics = run_experiment(cfg)
     # 2 queries x 2 shuffles = 4 result rows
     assert metrics[(3, 1)]["num_queries"] == 4
+
+
+def test_build_index_cli(tmp_path):
+    corpus_path, _ = _write_inputs(tmp_path)
+    from sdag_tpu.pipeline.build_index import main as build_main
+    dense_dir = str(tmp_path / "d.idx")
+    build_main([corpus_path, dense_dir, "--ranker-arch", "tiny",
+                "--batch-size", "4"])
+    from sdag_tpu.retrieval.dense import DenseIndex
+    idx = DenseIndex.load(dense_dir)
+    assert idx.valid_n == len(CORPUS)
+
+    bm25_dir = str(tmp_path / "b.idx")
+    build_main([corpus_path, bm25_dir, "--bm25"])
+    from sdag_tpu.retrieval.sparse import BM25Index
+    bidx = BM25Index.load(bm25_dir)
+    i, s = bidx.search(["capital of france"], top_k=3)
+    assert (i >= 0).any()
