@@ -137,12 +137,6 @@ def rope(x: jax.Array, positions: jax.Array, theta: float,
     return rot.astype(x.dtype)
 
 
-def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
-    if n_rep == 1:
-        return x
-    return jnp.repeat(x, n_rep, axis=1)
-
-
 def _project_qkv(attn: Dict[str, jax.Array], x: jax.Array,
                  cfg: DecoderConfig):
     B, L, _ = x.shape
@@ -210,7 +204,6 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig,
     x = params["embed"][input_ids].astype(cfg.dtype)
 
     ks, vs = [], []
-    n_rep = cfg.n_heads // cfg.n_kv_heads
     for layer in params["layers"]:
         h = rms_norm(x, layer["ln1"], cfg.norm_eps)
         q, k, v = _project_qkv(layer["attn"], h, cfg)
@@ -261,7 +254,6 @@ def decode_step(params: Dict[str, Any], cfg: DecoderConfig,
     B = tokens.shape[0]
     x = params["embed"][tokens].astype(cfg.dtype)[:, None, :]  # [B, 1, d]
     pos = positions[:, None]
-    n_rep = cfg.n_heads // cfg.n_kv_heads
 
     new_k, new_v = cache["k"], cache["v"]
     for li, layer in enumerate(params["layers"]):
@@ -275,10 +267,9 @@ def decode_step(params: Dict[str, Any], cfg: DecoderConfig,
         new_v = jax.lax.dynamic_update_slice(
             new_v, v[None].astype(cfg.dtype), (li, 0, 0, write_index, 0))
 
-        k_all = _repeat_kv(new_k[li], n_rep)
-        v_all = _repeat_kv(new_v[li], n_rep)
-        attn_out = masked_decode_attention(q[:, :, 0, :], k_all, v_all,
-                                           cache_mask)
+        # GQA groups contract inside the op; kv never repeated in memory
+        attn_out = masked_decode_attention(q[:, :, 0, :], new_k[li],
+                                           new_v[li], cache_mask)
         x = x + (attn_out.reshape(B, 1, -1) @ layer["attn"]["wo"])
         x = x + _mlp(layer["mlp"], rms_norm(x, layer["ln2"], cfg.norm_eps))
 

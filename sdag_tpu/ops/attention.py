@@ -541,17 +541,23 @@ def sdag_prefill_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
 def masked_decode_attention(q, k_cache, v_cache, cache_mask):
     """Single-step decode attention over a KV cache.
 
-    q: [B, H, Dh]; caches: [B, H, S, Dh]; cache_mask: [B, S] marks valid
-    slots (prompt tokens below valid_len, non-hole, plus written decode
-    slots).  Plain causal over the whole cache — reference decode semantics
-    (``SDAG.py:191-208``).
+    q: [B, H, Dh]; caches: [B, Hkv, S, Dh] with Hkv dividing H (GQA groups
+    contract directly — the repeated kv is never materialized, which is the
+    difference between O(cache) and O(cache * n_rep) HBM traffic per step);
+    cache_mask: [B, S] marks valid slots.  Plain causal over the whole cache
+    — reference decode semantics (``SDAG.py:191-208``).
     """
-    Dh = q.shape[-1]
-    scores = jnp.einsum("bhd,bhjd->bhj", q, k_cache,
+    B, H, Dh = q.shape
+    hkv = k_cache.shape[1]
+    rep = H // hkv
+    qg = q.reshape(B, hkv, rep, Dh)
+    scores = jnp.einsum("bgrd,bgjd->bgrj", qg, k_cache,
                         preferred_element_type=jnp.float32) * Dh ** -0.5
-    scores = jnp.where(cache_mask[:, None, :], scores, DEFAULT_MASK_VALUE)
+    scores = jnp.where(cache_mask[:, None, None, :], scores,
+                       DEFAULT_MASK_VALUE)
     probs = jax.nn.softmax(scores, axis=-1)
-    return jnp.einsum("bhj,bhjd->bhd", probs.astype(v_cache.dtype), v_cache)
+    out = jnp.einsum("bgrj,bgjd->bgrd", probs.astype(v_cache.dtype), v_cache)
+    return out.reshape(B, H, Dh)
 
 
 def causal_decode_attention(q, k_cache, v_cache, cache_len):
