@@ -46,12 +46,18 @@ def _tile_mask(i, j, dq, dk, nbr_q, sys_user_len, valid_len):
 
 
 def sdag_attention_reference(q, k, v, doc_id, nbr_bits, sys_user_len,
-                             valid_len=None, scale: Optional[float] = None):
-    """Dense-mask reference attention (XLA).  q: [B, H, L, Dh]; k/v may have
-    fewer (grouped) kv heads — repeated here; doc_id/nbr_bits: [B, L];
-    sys_user_len: [B] or scalar.  Parity target for the Pallas kernel and
-    the CPU fallback path."""
-    B, H, L, Dh = q.shape
+                             valid_len=None, scale: Optional[float] = None,
+                             q_offset=0, doc_id_q=None, nbr_bits_q=None):
+    """Dense-mask reference attention (XLA).  q: [B, H, Lq, Dh]; k/v may
+    have fewer (grouped) kv heads — repeated here; doc_id/nbr_bits describe
+    the KEY sequence [B, Lk]; sys_user_len: [B] or scalar.
+
+    Context parallelism: when q covers rows [q_offset, q_offset+Lq) of the
+    key sequence, pass q_offset and the q rows' own metadata slices
+    (doc_id_q/nbr_bits_q; default = full arrays for the Lq == Lk case).
+    Parity target for the Pallas kernel and the CPU fallback path."""
+    B, H, Lq, Dh = q.shape
+    Lk = k.shape[2]
     if k.shape[1] != H:
         rep = H // k.shape[1]
         k = jnp.repeat(k, rep, axis=1)
@@ -59,13 +65,17 @@ def sdag_attention_reference(q, k, v, doc_id, nbr_bits, sys_user_len,
     scale = scale if scale is not None else Dh ** -0.5
     sys_user_len = jnp.broadcast_to(jnp.asarray(sys_user_len), (B,))
     valid_len = (jnp.broadcast_to(jnp.asarray(valid_len), (B,))
-                 if valid_len is not None else jnp.full((B,), L))
+                 if valid_len is not None else jnp.full((B,), Lk))
+    if doc_id_q is None:
+        doc_id_q = doc_id
+    if nbr_bits_q is None:
+        nbr_bits_q = nbr_bits
 
-    i = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    i = q_offset + jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 1)
 
-    def one(qb, kb, vb, db, nb, sul, vl):
-        mask = _tile_mask(i, j, db[:, None], db[None, :], nb[:, None],
+    def one(qb, kb, vb, db_q, db_k, nb_q, sul, vl):
+        mask = _tile_mask(i, j, db_q[:, None], db_k[None, :], nb_q[:, None],
                           sul, vl)
         scores = jnp.einsum("hid,hjd->hij", qb, kb,
                             preferred_element_type=jnp.float32) * scale
@@ -73,14 +83,16 @@ def sdag_attention_reference(q, k, v, doc_id, nbr_bits, sys_user_len,
         probs = jax.nn.softmax(scores, axis=-1)
         return jnp.einsum("hij,hjd->hid", probs.astype(vb.dtype), vb)
 
-    return jax.vmap(one)(q, k, v, doc_id, nbr_bits, sys_user_len, valid_len)
+    return jax.vmap(one)(q, k, v, doc_id_q, doc_id, nbr_bits_q,
+                         sys_user_len, valid_len)
 
 
 BLOCK_SKIP, BLOCK_FULL, BLOCK_PARTIAL = 0, 1, 2
 
 
 def compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
-                        block_q: int, block_k: int):
+                        block_q: int, block_k: int,
+                        doc_id_q=None, nbr_bits_q=None, q_offset=0):
     """Classify every (q-block, kv-block) tile from O(L) metadata:
 
     0 = SKIP (no visible pair — the kernel does no work),
@@ -90,14 +102,24 @@ def compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
     Classification is conservative toward PARTIAL: SKIP/FULL are exact
     guarantees, heterogenous tiles fall back to PARTIAL.  This is the
     splash-attention-style structure precompute, O(nQ*nK) cheap XLA work.
+
+    Context parallelism: doc_id/nbr_bits describe the KEY sequence; when the
+    q rows are a slice [q_offset, q_offset+Lq), pass their metadata as
+    doc_id_q/nbr_bits_q (defaults cover Lq == Lk).
     """
     B, L = doc_id.shape
-    nq, nk = L // block_q, L // block_k
+    if doc_id_q is None:
+        doc_id_q = doc_id
+    if nbr_bits_q is None:
+        nbr_bits_q = nbr_bits
+    Lq = doc_id_q.shape[1]
+    nq, nk = Lq // block_q, L // block_k
     big = jnp.int32(2**30)
+    q_offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
 
-    def one(did, nbr, sul, vl):
-        dqb = did.reshape(nq, block_q)
-        nbrb = nbr.reshape(nq, block_q)
+    def one(did_q, nbr_q, did, sul, vl, qoff):
+        dqb = did_q.reshape(nq, block_q)
+        nbrb = nbr_q.reshape(nq, block_q)
         q_min_d = dqb.min(1)
         q_max_d = dqb.max(1)
         q_homo_doc = (q_min_d == q_max_d) & (q_min_d >= 0)
@@ -110,7 +132,7 @@ def compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
             axis=1)
         q_nbr_or = jnp.bitwise_or.reduce(nbrb, axis=1)
         q_nbr_homo = nbrb[:, 0]
-        qmin_i = jnp.arange(nq, dtype=jnp.int32) * block_q
+        qmin_i = qoff + jnp.arange(nq, dtype=jnp.int32) * block_q
         qmax_i = qmin_i + block_q - 1
         q_any_valid = qmin_i < vl
         q_all_valid = qmax_i < vl
@@ -160,12 +182,12 @@ def compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
                          jnp.where(full, BLOCK_FULL,
                                    BLOCK_PARTIAL)).astype(jnp.int32)
 
-    return jax.vmap(one)(doc_id, nbr_bits,
+    return jax.vmap(one)(doc_id_q, nbr_bits_q, doc_id,
                          jnp.asarray(sys_user_len, jnp.int32),
-                         jnp.asarray(valid_len, jnp.int32))
+                         jnp.asarray(valid_len, jnp.int32), q_offset)
 
 
-def _flash_kernel(b, kind, sys_user_len, valid_len,
+def _flash_kernel(b, kind, sys_user_len, valid_len, q_offset,
                   q_ref, k_ref, v_ref, dq_ref, dk_ref, nbr_ref,
                   out_ref, m_scratch, l_scratch, acc_scratch,
                   *, block_q: int, block_k: int, scale: float):
@@ -191,7 +213,7 @@ def _flash_kernel(b, kind, sys_user_len, valid_len,
             preferred_element_type=jnp.float32) * scale
 
         def apply_mask(s):
-            i = qi * block_q + jax.lax.broadcasted_iota(
+            i = q_offset + qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
             j = ki * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
@@ -238,33 +260,46 @@ def _flash_kernel(b, kind, sys_user_len, valid_len,
 def sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                          valid_len=None, block_q: int = 128,
                          block_k: int = 128, scale: Optional[float] = None,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         doc_id_q=None, nbr_bits_q=None, q_offset=None):
     """Pallas block-sparse flash attention.
 
-    q,k,v: [B, H, L, Dh] with L a multiple of max(block_q, block_k)
-    (caller pads; padded rows must have doc_id=-1 and be >= valid_len).
-    doc_id/nbr_bits: [B, L] int32; sys_user_len, valid_len: [B] int32.
+    q: [B, H, Lq, Dh]; k/v: [B, Hkv, Lk, Dh] (GQA groups mapped via the
+    BlockSpec); lengths multiples of the block sizes (caller pads; padded
+    rows must have doc_id=-1 and be >= valid_len).  doc_id/nbr_bits describe
+    the KEY sequence [B, Lk]; for context parallelism pass the q rows'
+    metadata (doc_id_q/nbr_bits_q [B, Lq]) and their global row offset
+    q_offset [B] (defaults cover Lq == Lk, offset 0).
     """
-    B, H, L, Dh = q.shape
+    B, H, Lq, Dh = q.shape
+    L = k.shape[2]
     n_kv = k.shape[1]
     if H % n_kv:
         raise ValueError(f"q heads {H} not a multiple of kv heads {n_kv}")
     n_rep = H // n_kv
     scale = scale if scale is not None else Dh ** -0.5
-    block_q = min(block_q, L)
+    block_q = min(block_q, Lq)
     block_k = min(block_k, L)
-    if L % block_q or L % block_k:
-        raise ValueError(f"L={L} must be divisible by block sizes")
+    if Lq % block_q or L % block_k:
+        raise ValueError(f"Lq={Lq}/Lk={L} must divide the block sizes")
+    if doc_id_q is None:
+        doc_id_q = doc_id
+    if nbr_bits_q is None:
+        nbr_bits_q = nbr_bits
 
     sys_user_len = jnp.broadcast_to(jnp.asarray(sys_user_len, jnp.int32), (B,))
     valid_len = (jnp.broadcast_to(jnp.asarray(valid_len, jnp.int32), (B,))
                  if valid_len is not None
                  else jnp.full((B,), L, jnp.int32))
-    meta = jnp.stack([sys_user_len, valid_len], axis=1)  # [B, 2]
+    q_offset = (jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
+                if q_offset is not None else jnp.zeros((B,), jnp.int32))
+    meta = jnp.stack([sys_user_len, valid_len, q_offset], axis=1)  # [B, 3]
     kinds = compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
-                                block_q, block_k)  # [B, nQ, nK]
+                                block_q, block_k, doc_id_q=doc_id_q,
+                                nbr_bits_q=nbr_bits_q,
+                                q_offset=q_offset)  # [B, nQ, nK]
 
-    qf = q.reshape(B * H, L, Dh)
+    qf = q.reshape(B * H, Lq, Dh)
     # GQA: kv stays grouped; the BlockSpec maps each q head to its shared kv
     # head (no repeat materialization, 1/n_rep the kv bandwidth).
     kf = k.reshape(B * n_kv, L, Dh)
@@ -273,7 +308,7 @@ def sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
     def kv_index(bh, qi, ki, meta, kinds):
         return ((bh // H) * n_kv + (bh % H) // n_rep, ki, 0)
 
-    nq, nk = L // block_q, L // block_k
+    nq, nk = Lq // block_q, L // block_k
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -315,7 +350,7 @@ def sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
         ki = pl.program_id(2)
         b = bh // H
         _flash_kernel(b, kinds_smem[b, qi, ki],
-                      meta_smem[b, 0], meta_smem[b, 1],
+                      meta_smem[b, 0], meta_smem[b, 1], meta_smem[b, 2],
                       q_ref, k_ref, v_ref, dq_ref, dk_ref,
                       nbr_ref, out_ref, m_s, l_s, acc_s,
                       block_q=block_q, block_k=block_k, scale=scale)
@@ -323,14 +358,14 @@ def sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B * H, L, Dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * H, Lq, Dh), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(meta, kinds, qf, kf, vf, doc_id, doc_id, nbr_bits)
+    )(meta, kinds, qf, kf, vf, doc_id_q, doc_id, nbr_bits_q)
 
-    return out.reshape(B, H, L, Dh)
+    return out.reshape(B, H, Lq, Dh)
 
 
 def _pack_kv_lists(kinds: jax.Array):

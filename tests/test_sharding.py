@@ -57,3 +57,41 @@ def test_sharded_prefill_matches_replicated():
     got_logits, _ = prefill(sharded, CFG, ids, with_cache=False)
     np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_context_parallel_prefill_matches_single_device():
+    """Sequence-sharded SDAG attention over 8 devices == single-device."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from sdag_tpu.ops.attention import sdag_attention_reference
+    from sdag_tpu.parallel.context import context_parallel_prefill_attention
+    from sdag_tpu.sdag.mask import BlockLayout, layout_to_metadata
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("model",))
+    rng = np.random.default_rng(0)
+    B, H, Hkv, L, Dh = 2, 4, 2, 512, 32
+    layout = BlockLayout(480, 64, ((64, 180), (200, 330), (340, 460)), 460)
+    doc_id, bits, sul = layout_to_metadata(layout, doc_neighbors=[[1], [], [0]],
+                                           pad_to=L)
+    doc_id = np.stack([doc_id] * B)
+    bits = np.stack([bits] * B)
+    q = jnp.asarray(rng.standard_normal((B, H, L, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, L, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, L, Dh)), jnp.float32)
+    sul_a = jnp.array([sul] * B)
+    vl_a = jnp.array([480, 512])
+
+    ref = np.asarray(sdag_attention_reference(
+        q, k, v, jnp.asarray(doc_id), jnp.asarray(bits), sul_a, vl_a))
+    out = np.asarray(context_parallel_prefill_attention(
+        q, k, v, jnp.asarray(doc_id), jnp.asarray(bits), sul_a, vl_a,
+        mesh=mesh, axis="model", impl="xla"))
+    np.testing.assert_allclose(out[:, :, :480], ref[:, :, :480],
+                               atol=2e-4, rtol=1e-3)
+
+    # pallas path in interpreter mode through the same shard_map
+    out2 = np.asarray(context_parallel_prefill_attention(
+        q, k, v, jnp.asarray(doc_id), jnp.asarray(bits), sul_a, vl_a,
+        mesh=mesh, axis="model", impl="pallas", block_q=64, block_k=64))
+    np.testing.assert_allclose(out2[:, :, :480], ref[:, :, :480],
+                               atol=3e-2)
