@@ -47,9 +47,9 @@ class Config:
     # Directory holding the packed device index (embeddings + meta manifest).
     DENSE_INDEX_PATH: str = "dense.index"
     META_JSONL_PATH: str = "docs_meta.jsonl"
-    # HBM storage dtype for the embedding matrix: float32 | bfloat16
-    # (bf16 halves bandwidth; recall@10 parity holds on normalized E5
-    # embeddings — bench.py gates this).
+    # HBM storage dtype for the embedding matrix: float32 | bfloat16 | int8.
+    # bf16 halves bandwidth at exact recall parity (bench.py gates this);
+    # int8 (per-row scales) quarters it at ~0.98 recall@10 (approximate).
     DENSE_INDEX_DTYPE: str = "float32"
 
     # --- models ------------------------------------------------------------

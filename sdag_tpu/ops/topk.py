@@ -184,6 +184,127 @@ def fused_topk_matmul(queries: jax.Array, corpus: jax.Array, k: int,
     return out_vals[:q, :k], out_idx[:q, :k]
 
 
+def quantize_rows_int8(x):
+    """Symmetric per-row int8 quantization: returns (int8 values, f32 row
+    scales) with x ~= values * scales[:, None]."""
+    import numpy as np
+    x = np.asarray(x, np.float32)
+    scales = np.maximum(np.abs(x).max(axis=1), 1e-12) / 127.0
+    q = np.clip(np.round(x / scales[:, None]), -127, 127).astype(np.int8)
+    return q, scales.astype(np.float32)
+
+
+def _topk_kernel_int8(valid_ref, q_ref, c_ref, scale_ref,
+                      out_vals_ref, out_idx_ref, vals_scratch, idx_scratch,
+                      *, k: int, block_n: int):
+    """int8-corpus variant of _topk_kernel: the tile is dequantized by
+    applying per-row scales to the dot products (linearity), so HBM reads
+    are 1/4 of f32 at identical ranking up to quantization error."""
+    j = pl.program_id(0)
+    num_tiles = pl.num_programs(0)
+    valid_n = valid_ref[0]
+
+    @pl.when(j == 0)
+    def _init():
+        vals_scratch[:] = jnp.full_like(vals_scratch, NEG_INF)
+        idx_scratch[:] = jnp.full_like(idx_scratch, _INT_MAX)
+
+    scores = jax.lax.dot_general(
+        q_ref[:].astype(jnp.bfloat16), c_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale_ref[0, :][None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    gcol = col + j * block_n
+    scores = jnp.where(gcol < valid_n, scores, NEG_INF)
+
+    cv = jnp.concatenate([vals_scratch[:], scores], axis=1)
+    ci = jnp.concatenate([idx_scratch[:], gcol], axis=1)
+    new_vals, new_idx = [], []
+    for _ in range(k):
+        m, sel, chosen = _select_next(cv, ci)
+        new_vals.append(m)
+        new_idx.append(sel)
+        cv = jnp.where(chosen, NEG_INF, cv)
+        ci = jnp.where(chosen, _INT_MAX, ci)
+    qp, k_pad = vals_scratch.shape
+    pad = k_pad - k
+    vals_row = jnp.concatenate(new_vals, axis=1)
+    idx_row = jnp.concatenate(new_idx, axis=1)
+    if pad:
+        vals_row = jnp.concatenate(
+            [vals_row, jnp.full((qp, pad), NEG_INF, jnp.float32)], axis=1)
+        idx_row = jnp.concatenate(
+            [idx_row, jnp.full((qp, pad), _INT_MAX, jnp.int32)], axis=1)
+    vals_scratch[:] = vals_row
+    idx_scratch[:] = idx_row
+
+    @pl.when(j == num_tiles - 1)
+    def _flush():
+        out_vals_ref[:] = vals_scratch[:]
+        out_idx_ref[:] = jnp.where(idx_scratch[:] == _INT_MAX, -1,
+                                   idx_scratch[:])
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_n", "interpret"))
+def fused_topk_matmul_int8(queries: jax.Array, corpus_i8: jax.Array,
+                           scales: jax.Array, k: int, block_n: int = 1024,
+                           valid_n=None, interpret: bool = False
+                           ) -> Tuple[jax.Array, jax.Array]:
+    """Fused top-k over an int8-quantized corpus (per-row scales)."""
+    q, n = queries.shape[0], corpus_i8.shape[0]
+    d = queries.shape[1]
+    if valid_n is None:
+        valid_n = n
+    valid_arr = jnp.asarray(valid_n, jnp.int32).reshape((1,))
+
+    qp = _round_up(max(q, 8), 8)
+    k_pad = _round_up(max(k, 128), 128)
+    n_pad = _round_up(n, block_n)
+    if qp != q:
+        queries = jnp.pad(queries, ((0, qp - q), (0, 0)))
+    if n_pad != n:
+        corpus_i8 = jnp.pad(corpus_i8, ((0, n_pad - n), (0, 0)))
+        scales = jnp.pad(scales, ((0, n_pad - n),))
+    queries = queries.astype(jnp.bfloat16)
+    scales2d = scales.reshape(1, n_pad).astype(jnp.float32)
+
+    num_tiles = n_pad // block_n
+    grid_spec = pl.GridSpec(
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((qp, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qp, k_pad), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qp, k_pad), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((qp, k_pad), jnp.float32),
+            pltpu.VMEM((qp, k_pad), jnp.int32),
+        ],
+    )
+    out_vals, out_idx = pl.pallas_call(
+        functools.partial(_topk_kernel_int8, k=k, block_n=block_n),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((qp, k_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(valid_arr, queries, corpus_i8, scales2d)
+    return out_vals[:q, :k], out_idx[:q, :k]
+
+
 def merge_topk(scores: jax.Array, indices: jax.Array, k: int
                ) -> Tuple[jax.Array, jax.Array]:
     """Merge candidate lists [Q, M] -> top-k with exact (score desc, index

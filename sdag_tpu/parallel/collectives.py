@@ -18,30 +18,27 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from sdag_tpu.ops.topk import merge_topk, topk_search
+from sdag_tpu.ops.topk import (fused_topk_matmul_int8, merge_topk,
+                               topk_search)
 
 
 def sharded_topk_search(queries: jax.Array, corpus: jax.Array, k: int,
                         valid_n: int, mesh: Mesh, axis: str = "index",
                         use_pallas: bool | None = None,
-                        block_n: int = 1024
+                        block_n: int = 1024, scales=None
                         ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k over a row-sharded corpus.
 
     queries: [Q, D] replicated; corpus: [N_pad, D] sharded on rows along
     `axis` (N_pad divisible by the axis size); valid_n: number of real rows.
+    With `scales` [N_pad], the corpus is int8-quantized (per-row scales).
     Returns replicated (scores [Q, k], global indices [Q, k]).
     """
     n_pad = corpus.shape[0]
     n_shards = mesh.shape[axis]
     shard_rows = n_pad // n_shards
 
-    def local_search(q, c_shard):
-        shard_id = jax.lax.axis_index(axis)
-        row0 = shard_id * shard_rows
-        local_valid = jnp.clip(valid_n - row0, 0, shard_rows)
-        vals, idx = topk_search(q, c_shard, k, valid_n=local_valid,
-                                use_pallas=use_pallas, block_n=block_n)
+    def finish(vals, idx, row0):
         gidx = jnp.where(idx >= 0, idx + row0, jnp.iinfo(jnp.int32).max)
         # Gather all shards' candidates along the candidate axis.
         vals_all = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
@@ -49,13 +46,41 @@ def sharded_topk_search(queries: jax.Array, corpus: jax.Array, k: int,
         mv, mi = merge_topk(vals_all, gidx_all, k)
         return mv, jnp.where(jnp.isneginf(mv), -1, mi)
 
+    if scales is None:
+        def local_search(q, c_shard):
+            shard_id = jax.lax.axis_index(axis)
+            row0 = shard_id * shard_rows
+            local_valid = jnp.clip(valid_n - row0, 0, shard_rows)
+            vals, idx = topk_search(q, c_shard, k, valid_n=local_valid,
+                                    use_pallas=use_pallas, block_n=block_n)
+            return finish(vals, idx, row0)
+
+        fn = shard_map(
+            local_search, mesh=mesh,
+            in_specs=(P(), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(queries, corpus)
+
+    def local_search_i8(q, c_shard, s_shard):
+        shard_id = jax.lax.axis_index(axis)
+        row0 = shard_id * shard_rows
+        local_valid = jnp.clip(valid_n - row0, 0, shard_rows)
+        interp = jax.default_backend() != "tpu"
+        vals, idx = fused_topk_matmul_int8(q, c_shard, s_shard, k,
+                                           block_n=block_n,
+                                           valid_n=local_valid,
+                                           interpret=interp)
+        return finish(vals, idx, row0)
+
     fn = shard_map(
-        local_search, mesh=mesh,
-        in_specs=(P(), P(axis)),
+        local_search_i8, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(queries, corpus)
+    return fn(queries, corpus, scales)
 
 
 @partial(jax.jit, static_argnames=("axis_name",))

@@ -88,8 +88,9 @@ def init_resources(cfg: Config) -> Resources:
 
     if need_dense:
         import jax.numpy as jnp
-        idx_dtype = (jnp.bfloat16 if cfg.DENSE_INDEX_DTYPE == "bfloat16"
-                     else jnp.float32)
+        idx_dtype = {"bfloat16": jnp.bfloat16,
+                     "int8": jnp.int8}.get(cfg.DENSE_INDEX_DTYPE,
+                                           jnp.float32)
         if os.path.isdir(cfg.DENSE_INDEX_PATH):
             print(f"[resources] loading dense index: {cfg.DENSE_INDEX_PATH}")
             meta_path = cfg.META_JSONL_PATH \

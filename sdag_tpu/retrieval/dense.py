@@ -20,7 +20,8 @@ import numpy as np
 
 from sdag_tpu.core.mesh import make_index_mesh, shard_rows
 from sdag_tpu.datamodels import RetrievalBatch
-from sdag_tpu.ops.topk import topk_search
+from sdag_tpu.ops.topk import (fused_topk_matmul_int8, quantize_rows_int8,
+                               topk_search)
 from sdag_tpu.parallel.collectives import sharded_topk_search
 from sdag_tpu.retrieval.retriever import Retriever
 
@@ -49,12 +50,22 @@ class DenseIndex:
         self.block_n = block_n
         self.mesh = mesh if mesh is not None else make_index_mesh()
         self.n_shards = self.mesh.shape["index"]
+        self.quantized = dtype == jnp.int8
 
         n_pad = _round_up(self.valid_n, block_n * self.n_shards)
         padded = np.zeros((n_pad, self.dim), dtype=np.float32)
         padded[: self.valid_n] = np.asarray(embeddings, dtype=np.float32)
-        self.embeddings = shard_rows(jnp.asarray(padded, dtype=dtype),
-                                     self.mesh, "index")
+        if self.quantized:
+            # approximate mode: 4x less HBM; recall@10 ~0.98 on adversarial
+            # random data, higher on real embeddings — bf16/f32 are exact
+            qvals, scales = quantize_rows_int8(padded)
+            self.embeddings = shard_rows(jnp.asarray(qvals), self.mesh,
+                                         "index")
+            self.scales = shard_rows(jnp.asarray(scales), self.mesh, "index")
+        else:
+            self.embeddings = shard_rows(jnp.asarray(padded, dtype=dtype),
+                                         self.mesh, "index")
+            self.scales = None
 
     # ------------------------------------------------------------- search
     def search(self, query_embeddings: np.ndarray, top_k: int
@@ -65,7 +76,12 @@ class DenseIndex:
         if self.n_shards > 1:
             vals, idx = sharded_topk_search(
                 q, self.embeddings, top_k, valid_n=self.valid_n,
-                mesh=self.mesh, block_n=self.block_n)
+                mesh=self.mesh, block_n=self.block_n, scales=self.scales)
+        elif self.quantized:
+            vals, idx = fused_topk_matmul_int8(
+                q, self.embeddings, self.scales, top_k,
+                valid_n=self.valid_n, block_n=self.block_n,
+                interpret=jax.default_backend() != "tpu")
         else:
             vals, idx = topk_search(q, self.embeddings, top_k,
                                     valid_n=self.valid_n,
@@ -97,9 +113,14 @@ class DenseIndex:
     def save(self, index_dir: str) -> None:
         """Persist as embeddings.npy + meta.jsonl (shard-manifest style)."""
         os.makedirs(index_dir, exist_ok=True)
-        # always persist float32 (bf16 is an HBM storage choice, and numpy
-        # round-trips ml_dtypes poorly)
-        emb = np.asarray(self.embeddings[: self.valid_n].astype(jnp.float32))
+        # always persist float32 (bf16/int8 are HBM storage choices, and
+        # numpy round-trips ml_dtypes poorly)
+        if self.quantized:
+            emb = (np.asarray(self.embeddings)[: self.valid_n].astype(
+                np.float32) * np.asarray(self.scales)[: self.valid_n, None])
+        else:
+            emb = np.asarray(
+                self.embeddings[: self.valid_n].astype(jnp.float32))
         np.save(os.path.join(index_dir, "embeddings.npy"), emb)
         with open(os.path.join(index_dir, "meta.jsonl"), "w",
                   encoding="utf-8") as f:

@@ -134,3 +134,27 @@ def test_dense_retriever_contract():
     assert len(batch.q_embs) == 2
     # scores descending
     assert batch.scores_full[0] == sorted(batch.scores_full[0], reverse=True)
+
+
+def test_int8_index_recall_and_roundtrip(tmp_path):
+    from sdag_tpu.ops.topk import fused_topk_matmul_int8, quantize_rows_int8
+    qe, ce = _rand(10, 1500, 64, seed=11)
+    ci8, sc = quantize_rows_int8(ce)
+    v, i = fused_topk_matmul_int8(jnp.asarray(qe), jnp.asarray(ci8),
+                                  jnp.asarray(sc), 10, block_n=256,
+                                  interpret=True)
+    ref = np.argsort(-(qe @ ce.T), axis=1, kind="stable")[:, :10]
+    recall = np.mean([len(set(ref[r]) & set(np.asarray(i)[r])) / 10
+                      for r in range(10)])
+    assert recall >= 0.9  # approximate mode
+
+    # DenseIndex int8 end-to-end + save restores dequantized f32
+    meta = [{"id": f"d{i}", "text": f"t{i}"} for i in range(1500)]
+    index = DenseIndex(ce, meta, block_n=256, dtype=jnp.int8)
+    idx, scores = index.search(qe, top_k=5)
+    assert idx.shape == (10, 5)
+    index.save(str(tmp_path / "i8"))
+    index2 = DenseIndex.load(str(tmp_path / "i8"))  # loads as f32
+    idx2, _ = index2.search(qe, top_k=5)
+    overlap = np.mean([len(set(idx[r]) & set(idx2[r])) / 5 for r in range(10)])
+    assert overlap >= 0.8
