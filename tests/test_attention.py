@@ -93,3 +93,46 @@ def test_flash_no_docs_equals_causal():
         *args, sys_user_len=jnp.array([0]), valid_len=jnp.array([L]),
         block_q=64, block_k=64, interpret=True))
     assert np.abs(ref - out).max() < 3e-2
+
+
+def test_splash_matches_reference():
+    """Manual-DMA splash kernel parity (interpret mode)."""
+    from sdag_tpu.ops.attention import sdag_splash_attention
+    rng = np.random.default_rng(0)
+    B, H, L, Dh = 2, 2, 256, 64
+    layout = BlockLayout(230, 40, ((40, 80), (85, 130), (132, 180)), 185)
+    doc_id, bits, sul = layout_to_metadata(layout, doc_neighbors=[[1], [], [0]],
+                                           pad_to=L)
+    doc_id = np.stack([doc_id] * B)
+    bits = np.stack([bits] * B)
+    q, k, v = (jnp.asarray(rng.standard_normal((B, H, L, Dh)), jnp.float32)
+               for _ in range(3))
+    sul_a, vl_a = jnp.array([sul] * B), jnp.array([230] * B)
+    ref = np.asarray(sdag_attention_reference(q, k, v, jnp.asarray(doc_id),
+                                              jnp.asarray(bits), sul_a, vl_a))
+    out = np.asarray(sdag_splash_attention(q, k, v, jnp.asarray(doc_id),
+                                           jnp.asarray(bits), sul_a, vl_a,
+                                           block_q=64, block_k=64,
+                                           interpret=True))
+    assert np.abs(ref - out)[:, :, :230].max() < 3e-2
+
+
+def test_block_kinds_q_offset_slices():
+    """Kinds for a q-row slice with offset == the matching rows of the full
+    classification."""
+    L, bq, bk = 256, 32, 32
+    layout = BlockLayout(230, 40, ((40, 80), (85, 130), (132, 180)), 185)
+    doc_id, bits, sul = layout_to_metadata(layout, doc_neighbors=[[1], [], [0]],
+                                           pad_to=L)
+    full = np.asarray(compute_block_kinds(
+        jnp.asarray(doc_id[None]), jnp.asarray(bits[None]),
+        jnp.asarray([sul]), jnp.asarray([230]), bq, bk))[0]
+    # slice rows [128, 256) => q-blocks 4..8
+    sl = slice(128, 256)
+    part = np.asarray(compute_block_kinds(
+        jnp.asarray(doc_id[None]), jnp.asarray(bits[None]),
+        jnp.asarray([sul]), jnp.asarray([230]), bq, bk,
+        doc_id_q=jnp.asarray(doc_id[None, sl]),
+        nbr_bits_q=jnp.asarray(bits[None, sl]),
+        q_offset=jnp.asarray([128])))[0]
+    np.testing.assert_array_equal(part, full[4:8])
