@@ -163,25 +163,18 @@ class Generator:
                 lengths = lengths + jnp.where(done, 0, 1)
                 done = done | (cur == eos)
 
-                def step(args):
-                    cur, cache, key, done = args
-                    mask = base_mask | ((slot_iota >= lp) &
-                                        (slot_iota <= lp + t))
-                    logits, cache = decode_step(
-                        params, cfg, cur, real_len + t, cache,
-                        write_index=lp + t, cache_mask=mask)
-                    key, sub = jax.random.split(key)
-                    nxt = sample_tokens(sub, logits, temperature, top_p)
-                    nxt = jnp.where(done, eos, nxt)
-                    return nxt, cache, key
-
-                def skip(args):
-                    cur, cache, key, done = args
-                    return cur, cache, key
-
-                cur, cache, key = jax.lax.cond(
-                    (t + 1 < max_new) & jnp.logical_not(jnp.all(done)),
-                    step, skip, (cur, cache, key, done))
+                # Unconditional step: a lax.cond here would copy the (large)
+                # KV cache through the untaken branch every iteration; the
+                # final iteration's extra forward is far cheaper.  Early exit
+                # still happens via the while condition.
+                mask = base_mask | ((slot_iota >= lp) &
+                                    (slot_iota <= lp + t))
+                logits, cache = decode_step(
+                    params, cfg, cur, real_len + t, cache,
+                    write_index=lp + t, cache_mask=mask)
+                key, sub = jax.random.split(key)
+                nxt = sample_tokens(sub, logits, temperature, top_p)
+                cur = jnp.where(done, eos, nxt)
                 return t + 1, out, cur, cache, done, lengths, key
 
             state = (jnp.int32(0), out0, cur, cache, done0, len0, key)
