@@ -419,16 +419,22 @@ def _splash_kernel(meta_ref, counts_ref, kvlist_ref, kindlist_ref,
             v_hbm.at[bh, pl.ds(start, block_k), :], v_buf.at[slot],
             sems.at[slot, 1]).wait()
 
+    NBUF = 4
+
     @pl.when(cnt > 0)
     def _run():
-        start_dma(0, 0)
+        # warm up: issue up to NBUF-1 DMAs ahead
+        for w in range(NBUF - 1):
+            @pl.when(w < cnt)
+            def _warm(w=w):
+                start_dma(w % NBUF, w)
 
         def body(t, _):
-            slot = jax.lax.rem(t, 2)
+            slot = jax.lax.rem(t, NBUF)
 
-            @pl.when(t + 1 < cnt)
+            @pl.when(t + NBUF - 1 < cnt)
             def _prefetch():
-                start_dma(jax.lax.rem(t + 1, 2), t + 1)
+                start_dma(jax.lax.rem(t + NBUF - 1, NBUF), t + NBUF - 1)
 
             wait_dma(slot, t)
             kv_idx = kvlist_ref[b, qi, t]
@@ -536,9 +542,9 @@ def sdag_splash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                                lambda bh, qi, *_: (bh, qi, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, block_k, Dh), q.dtype),
-            pltpu.VMEM((2, block_k, Dh), q.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((4, block_k, Dh), q.dtype),
+            pltpu.VMEM((4, block_k, Dh), q.dtype),
+            pltpu.SemaphoreType.DMA((4, 2)),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, Dh), jnp.float32),
