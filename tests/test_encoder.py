@@ -57,3 +57,30 @@ def test_similarity_sanity(enc):
     same = float(e[0] @ e[1])
     diff = float(e[0] @ e[2])
     assert same > diff
+
+
+def test_tokenizer_specials_roundtrip():
+    from sdag_tpu.models.tokenizer import ByteTokenizer
+    tok = ByteTokenizer()
+    text = "<|begin_of_text|>hello <|eot_id|> world"
+    ids = tok.encode(text)
+    # specials map to single ids
+    assert tok.bos_token_id in ids and tok.eos_token_id in ids
+    assert tok.decode(ids, skip_special_tokens=False) == text
+    assert tok.decode(ids, skip_special_tokens=True) == "hello  world"
+    # chat template renders headers + generation prompt
+    chat = tok.apply_chat_template(
+        [{"role": "user", "content": "hi"}], add_generation_prompt=True)
+    assert chat.startswith("<|begin_of_text|>")
+    assert chat.endswith("<|start_header_id|>assistant<|end_header_id|>\n\n")
+    # unicode round-trips through byte encoding
+    s = "café ☕ 日本"
+    assert tok.decode(tok.encode(s)) == s
+
+
+def test_encoder_truncation(enc):
+    """Texts beyond max_length are truncated, not errored."""
+    long_text = "word " * 2000
+    emb = enc.encode([long_text], kind="passage")
+    assert emb.shape == (1, CFG.d_model)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
