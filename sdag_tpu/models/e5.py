@@ -173,8 +173,21 @@ class E5Encoder:
         return np.vstack(out)
 
     def _tokenize(self, texts: List[str]):
-        rows = [self.tokenizer.encode(t, add_special_tokens=False)
-                [: self.max_length] for t in texts]
+        # BERT-family tokenizers (SentenceTransformer path, reference
+        # dense.py:44-65) wrap every sequence as [CLS] ids[:max-2] [SEP];
+        # E5 mean-pools over those specials too, so they must be present
+        # for real-checkpoint embedding parity.  Tokenizers without
+        # cls/sep (the byte fallback) keep the plain truncation rule.
+        cls_id = getattr(self.tokenizer, "cls_token_id", None)
+        sep_id = getattr(self.tokenizer, "sep_token_id", None)
+        if cls_id is not None and sep_id is not None:
+            body = self.max_length - 2
+            rows = [[cls_id]
+                    + self.tokenizer.encode(t, add_special_tokens=False)[:body]
+                    + [sep_id] for t in texts]
+        else:
+            rows = [self.tokenizer.encode(t, add_special_tokens=False)
+                    [: self.max_length] for t in texts]
         lp = max(1, max(len(r) for r in rows))
         lp = min(((lp + self.pad_multiple - 1) // self.pad_multiple)
                  * self.pad_multiple, self.max_length)

@@ -89,3 +89,54 @@ def test_llama31_rope_scaling_parity():
                             with_cache=False, attn_impl="xla")
     np.testing.assert_allclose(np.asarray(our_logits), hf_logits,
                                atol=2e-3, rtol=1e-3)
+
+
+def test_e5_encode_string_to_embedding_parity(tmp_path):
+    """Full string->embedding parity vs the SentenceTransformer-equivalent
+    pipeline: HF BertTokenizer ([CLS]/[SEP], truncation) + BertModel +
+    masked mean pool + L2 norm (reference dense.py:44-65).
+
+    Guards the _tokenize special-token rule: with add_special_tokens=False
+    (round-1 bug) the embeddings silently diverge.
+    """
+    from transformers import BertConfig, BertModel, BertTokenizer
+    from sdag_tpu.models.e5 import E5Encoder
+
+    words = ["the", "cat", "sat", "on", "mat", "dog", "passage", "query",
+             ":", "a", "ran", "##s", "hello", "world"]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text(
+        "\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words)
+        + "\n", encoding="utf-8")
+    tok = BertTokenizer(str(vocab_file), do_lower_case=True)
+
+    hf_cfg = BertConfig(
+        vocab_size=tok.vocab_size, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=64, attn_implementation="eager")
+    torch.manual_seed(3)
+    model = BertModel(hf_cfg).eval()
+    cfg = encoder_config_from_hf(hf_cfg)
+    params = convert_bert_state_dict(model.state_dict(), cfg)
+
+    max_len = 10  # force truncation on the long text below
+    enc = E5Encoder(params, cfg, tok, model_name="e5-large-v2",
+                    max_length=max_len, pad_multiple=4)
+    texts = ["the cat sat on a mat",
+             "hello world",
+             "the dog ran " * 8]  # > max_len tokens
+
+    # SentenceTransformer-equivalent reference path (strings in).
+    prefixed = [f"passage: {t}" for t in texts]
+    batch = tok(prefixed, padding=True, truncation=True, max_length=max_len,
+                return_tensors="pt")
+    with torch.no_grad():
+        hidden = model(input_ids=batch["input_ids"],
+                       attention_mask=batch["attention_mask"]
+                       ).last_hidden_state.numpy()
+    m = batch["attention_mask"].numpy()[..., None].astype(np.float32)
+    ref = (hidden * m).sum(1) / m.sum(1)
+    ref = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+
+    ours = enc.encode(texts, kind="passage")
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
