@@ -1,0 +1,121 @@
+"""Decode-throughput benchmark (the reference's hottest loop,
+``SDAG.py:191-208``).
+
+Times ONLY the decode hot loop — prefill builds the KV cache once, then a
+jitted ``fori_loop`` runs N decode steps with the sampled token feeding the
+next step (a real data-dependency chain; through the axon relay,
+``block_until_ready`` on a single dispatch under-reports, see CLAUDE.md).
+
+Model: ~1.0B-param Llama-geometry bf16 (d=2048, 16 layers, GQA 16/8,
+V=128256 tied) — big enough that weight streaming dominates, small enough
+to init fast.  Reports tok/s and the HBM roofline fraction
+(bytes_per_step = weights + live KV) so regressions are attributable.
+
+Usage: python benchmarks/bench_decode.py [--batch 8] [--prompt 1024]
+       [--steps 32] [--top_p 1.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_config():
+    import jax.numpy as jnp
+    from sdag_tpu.models.llama import DecoderConfig
+    return DecoderConfig(vocab_size=128256, d_model=2048, n_layers=16,
+                         n_heads=16, n_kv_heads=8, d_ff=5504,
+                         rope_theta=500000.0, dtype=jnp.bfloat16,
+                         tie_embeddings=True)
+
+
+def run(batch: int, prompt: int, steps: int, temperature: float,
+        top_p: float, iters: int = 3, max_new: int = 128) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from sdag_tpu.models.llama import (count_params, decode_step,
+                                       init_decoder_params, prefill)
+    from sdag_tpu.ops.sampling import sample_tokens
+
+    cfg = bench_config()
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    n_params = count_params(params)
+
+    cache_size = prompt + max_new
+    ids = jax.random.randint(jax.random.PRNGKey(1), (batch, prompt), 0,
+                             cfg.vocab_size, jnp.int32)
+
+    @jax.jit
+    def make_cache(params, ids):
+        _, cache = prefill(params, cfg, ids, cache_size=cache_size,
+                           attn_impl="auto", block_q=512, block_k=512)
+        return cache
+
+    cache = jax.block_until_ready(make_cache(params, ids))
+    slot_iota = jnp.arange(cache_size, dtype=jnp.int32)[None, :]
+
+    @jax.jit
+    def decode_n(params, cache, cur, key):
+        def body(t, state):
+            cur, cache, key, acc = state
+            mask = slot_iota < (prompt + t + 1)
+            logits, cache = decode_step(params, cfg, cur,
+                                        jnp.full((batch,), prompt, jnp.int32)
+                                        + t,
+                                        cache, write_index=prompt + t,
+                                        cache_mask=jnp.broadcast_to(
+                                            mask, (batch, cache_size)))
+            key, sub = jax.random.split(key)
+            cur = sample_tokens(sub, logits, temperature, top_p)
+            return cur, cache, key, acc + cur[0]
+        cur, cache, key, acc = jax.lax.fori_loop(
+            0, steps, body, (cur, cache, jax.random.PRNGKey(2),
+                             jnp.int32(0)))
+        return acc
+
+    cur0 = jnp.zeros((batch,), jnp.int32)
+    np.asarray(decode_n(params, cache, cur0, jax.random.PRNGKey(2)))  # warm
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.time()
+        np.asarray(decode_n(params, cache, cur0, jax.random.PRNGKey(2)))
+        best = min(best, time.time() - t0 - 0.03)
+    step_s = best / steps
+    toks = batch * steps / best
+
+    # roofline: every step streams the weights once + the live KV once
+    w_bytes = 2 * n_params
+    kv_bytes = (2 * cfg.n_layers * batch * cfg.n_kv_heads
+                * (prompt + steps // 2) * cfg.head_dim * 2)
+    hbm = 820e9  # v5e
+    roof_tok_s = batch / ((w_bytes + kv_bytes) / hbm)
+    return {"batch": batch, "prompt": prompt, "steps": steps,
+            "params": n_params, "tok_s": round(toks, 1),
+            "step_ms": round(step_s * 1e3, 3),
+            "roofline_tok_s": round(roof_tok_s, 1),
+            "roofline_frac": round(toks / roof_tok_s, 3)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--prompt", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--temperature", type=float, default=0.1)
+    ap.add_argument("--top_p", type=float, default=1.0)
+    args = ap.parse_args()
+    out = run(args.batch, args.prompt, args.steps, args.temperature,
+              args.top_p)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

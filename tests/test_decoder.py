@@ -199,3 +199,32 @@ def test_generator_batch_mixed_doc_counts(params):
                                max_new_tokens=6)[0]
     solo1 = gen.generate_plans([plans[1]], max_new_tokens=6)[0]
     assert outs == [solo0, solo1]
+
+
+def test_bounded_nucleus_matches_exact_filter():
+    """sample_tokens' top-k-bounded nucleus must only ever emit tokens the
+    exact full-sort filter keeps (peaked distribution => nucleus fits in
+    top-k)."""
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((2, 512)).astype(np.float32)
+    base[0, 7] += 8.0; base[0, 11] += 7.0      # peaked rows
+    base[1, 3] += 9.0; base[1, 200] += 8.5
+    logits = jnp.asarray(base)
+    exact_keep = np.isfinite(np.asarray(top_p_filter(logits, 0.9)))
+    for s in range(40):
+        toks = np.asarray(sample_tokens(jax.random.PRNGKey(s), logits,
+                                        temperature=1.0, top_p=0.9))
+        for row in range(2):
+            assert exact_keep[row, toks[row]], (s, row, toks[row])
+
+
+def test_generator_top_p_in_decode_loop(params):
+    """top_p < 1 inside the jitted while-loop decode path (bounded nucleus
+    under jit) must produce valid, key-deterministic output."""
+    tok = ByteTokenizer()
+    gen = Generator(params, CFG, tok, temperature=0.7, top_p=0.9, seed=5)
+    ids = [np.asarray(tok.encode("hello world"), np.int32)]
+    outs = gen.generate_ids(ids, max_new_tokens=6)
+    assert len(outs) == 1 and isinstance(outs[0], str)
+    gen2 = Generator(params, CFG, tok, temperature=0.7, top_p=0.9, seed=5)
+    assert gen2.generate_ids(ids, max_new_tokens=6) == outs
