@@ -1,47 +1,85 @@
-"""Headline benchmark: dense top-k retrieval QPS per chip.
+"""Driver benchmark suite: one JSON line per target metric, HEADLINE LAST.
 
-Runs the fused Pallas matmul+top-k search kernel (sdag_tpu/ops/topk.py) on
-the real chip over an e5-large-v2-shaped corpus (N=100k, D=1024, k=10) and
-compares against a faiss-flat-equivalent exact CPU scan (numpy matmul +
-argpartition) — the reference's retrieval engine is faiss-cpu flat
-(``src/pipeline/retrieval/dense.py:36,83``; BASELINE.md targets >=10x).
+Every README performance claim is backed by a line here (VERDICT r1 item 2):
 
-Prints ONE JSON line:
-{"metric": ..., "value": QPS, "unit": "qps/chip", "vs_baseline": x}.
+  sdag_prefill_ms_L4096_docs20   Pallas block-sparse prefill vs plain-causal
+                                 flash (vs_baseline = causal_ms / sdag_ms)
+  sdag_prefill_speedup_vs_dense_mask_xla  same kernel vs the XLA dense-mask
+                                 reference attention
+  decode_tok_s_b{1,8}            decode hot loop, ~1.0B bf16 model,
+                                 prompt 1024 (vs_baseline = HBM roofline
+                                 fraction, weights + live KV per step)
+  bm25_qps                       fused impact-scored BM25 top-k vs a host
+                                 inverted-index scan
+  dense_retrieval_qps_f32        fused matmul+top-k, f32 corpus
+  dense_retrieval_qps_per_chip_n100k_d1024_k10   HEADLINE (bf16 corpus) vs
+                                 faiss-flat-equivalent CPU scan
 
-Timing note: through the axon relay, dispatch latency is ~30ms and
-block_until_ready under-reports; we therefore time an on-device
-jax.lax.fori_loop with a data dependency chain and fetch the final scalar.
+Timing through the axon relay: ~30 ms dispatch RTT and block_until_ready
+under-reports, so every device measurement runs an on-device
+``lax.fori_loop`` with a data-dependency chain and fetches one scalar
+(CLAUDE.md).  The reference's retrieval engine is faiss-cpu flat
+(``src/pipeline/retrieval/dense.py:36,83``); BASELINE.md targets >=10x.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+import traceback
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "benchmarks"))
 
-def bench_tpu_qps(q, c, k: int, iters: int = 50) -> float:
-    """bf16-resident corpus (recall@10 == 1.0 vs f32 exact on this data —
-    the MXU reduces f32 inputs to bf16 products anyway); arrays passed as
-    jit args (closures would ship the corpus as an HLO constant through the
-    remote-compile tunnel)."""
+RTT = 0.03  # axon relay round-trip subtracted from every device timing
+
+
+def _enable_compile_cache() -> None:
+    """Persistent compile cache: under tunnel contention, compiles dominate
+    bench wall-time; cached executables make re-runs cheap."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def _device_time(fn, *args, iters_hint: int = 1, repeats: int = 2) -> float:
+    """Best-of-N wall time of a jitted on-device loop, minus one RTT."""
+    np.asarray(fn(*args))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        np.asarray(fn(*args))
+        best = min(best, time.time() - t0 - RTT)
+    return max(best, 1e-9)
+
+
+# ------------------------------------------------------------ dense top-k
+def bench_dense_qps(q, c, k: int, dtype_name: str, iters: int = 50) -> float:
+    """Arrays passed as jit args (closures ship the corpus as an HLO
+    constant through the remote-compile tunnel)."""
     import jax
     import jax.numpy as jnp
 
     from sdag_tpu.ops.topk import fused_topk_matmul
 
     qj = jnp.asarray(q)
-    cj = jnp.asarray(c, dtype=jnp.bfloat16)
+    cj = jnp.asarray(c, dtype=jnp.bfloat16) if dtype_name == "bf16" \
+        else jnp.asarray(c)
 
-    # recall gate: bf16 storage must not change the top-k on this workload
-    _, i16 = fused_topk_matmul(qj[:64], cj, 10)
-    _, i32 = fused_topk_matmul(qj[:64], jnp.asarray(c), 10)
-    i16, i32 = np.asarray(i16), np.asarray(i32)
-    recall = np.mean([len(set(i16[r]) & set(i32[r])) / 10
-                      for r in range(i16.shape[0])])
-    assert recall >= 0.99, f"bf16 corpus recall@10 dropped to {recall}"
+    if dtype_name == "bf16":
+        # recall gate: bf16 storage must not change top-k on this workload
+        _, i16 = fused_topk_matmul(qj[:64], cj, 10)
+        _, i32 = fused_topk_matmul(qj[:64], jnp.asarray(c), 10)
+        i16, i32 = np.asarray(i16), np.asarray(i32)
+        recall = np.mean([len(set(i16[r]) & set(i32[r])) / 10
+                          for r in range(i16.shape[0])])
+        assert recall >= 0.99, f"bf16 corpus recall@10 dropped to {recall}"
 
     @jax.jit
     def loop(qj, cj):
@@ -50,44 +88,196 @@ def bench_tpu_qps(q, c, k: int, iters: int = 50) -> float:
             return acc + v[0, 0]
         return jax.lax.fori_loop(0, iters, body, 0.0)
 
-    np.asarray(loop(qj, cj))  # compile + warm
-    t0 = time.time()
-    np.asarray(loop(qj, cj))
-    dt = max(time.time() - t0 - 0.03, 1e-9) / iters  # minus relay round-trip
+    dt = _device_time(loop, qj, cj) / iters
     return q.shape[0] / dt
 
 
-def bench_cpu_qps(q, c, k: int, n_queries: int = 32) -> float:
+def bench_cpu_dense_qps(q, c, k: int, n_queries: int = 32) -> float:
     """faiss-flat-equivalent exact scan on host (numpy BLAS matmul +
     argpartition top-k)."""
     qs = q[:n_queries]
-    # warm the BLAS path
-    _ = qs[:2] @ c.T
+    _ = qs[:2] @ c.T  # warm BLAS
     t0 = time.time()
     scores = qs @ c.T
     idx = np.argpartition(-scores, k, axis=1)[:, :k]
     np.take_along_axis(scores, idx, axis=1)
-    dt = max(time.time() - t0, 1e-9)
-    return n_queries / dt
+    return n_queries / max(time.time() - t0, 1e-9)
+
+
+# ---------------------------------------------------------- SDAG prefill
+def bench_sdag_prefill(iters: int = 20):
+    """[B=1, H=16/KV=8, Dh=128, L=4096] with 20 doc blocks + 2-NN neighbor
+    windows — the round-1 README configuration."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdag_tpu.ops.attention import (sdag_attention_reference,
+                                        sdag_flash_attention)
+
+    B, H, KV, Dh, L = 1, 16, 8, 128, 4096
+    n_docs, sys_len, doc_len = 20, 256, 176
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, H, L, Dh), jnp.bfloat16)
+    k = jax.random.normal(kk, (B, KV, L, Dh), jnp.bfloat16)
+    v = jax.random.normal(kv, (B, KV, L, Dh), jnp.bfloat16)
+
+    doc_id = np.full(L, -1, np.int32)
+    nbr_bits = np.zeros(L, np.int32)
+    for d in range(n_docs):
+        s = sys_len + d * doc_len
+        doc_id[s:s + doc_len] = d
+        bits = 0
+        for n in (d - 1, d + 1):
+            if 0 <= n < n_docs:
+                bits |= 1 << n
+        nbr_bits[s:s + doc_len] = bits
+    doc_id = jnp.asarray(doc_id)[None]
+    nbr_bits = jnp.asarray(nbr_bits)[None]
+    causal_doc_id = jnp.full((B, L), -1, jnp.int32)
+    zeros = jnp.zeros((B, L), jnp.int32)
+
+    def timed(fn, di, nb, sul):
+        @jax.jit
+        def loop(q, k, v, di, nb):
+            def body(i, acc):
+                o = fn(q * (1.0 + acc * 1e-9) + i * 1e-6, k, v, di, nb, sul)
+                return acc + o[0, 0, 0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, iters, body, 0.0)
+        return _device_time(loop, q, k, v, di, nb) / iters
+
+    def flash(q, k, v, di, nb, sul):
+        return sdag_flash_attention(q, k, v, di, nb, sul,
+                                    block_q=512, block_k=512)
+
+    sdag_s = timed(flash, doc_id, nbr_bits, sys_len)
+    causal_s = timed(flash, causal_doc_id, zeros, 0)
+    xla_s = timed(sdag_attention_reference, doc_id, nbr_bits, sys_len)
+    return sdag_s * 1e3, causal_s * 1e3, xla_s * 1e3
+
+
+# ------------------------------------------------------------------ BM25
+def bench_bm25(iters: int = 20):
+    import jax
+    import jax.numpy as jnp
+
+    from sdag_tpu.ops.bm25 import bm25_topk
+
+    rng = np.random.default_rng(1)
+    N, T, V, Q, QT, K = 100_000, 128, 50_000, 256, 8, 10
+    term_ids = rng.integers(0, V, (N, T)).astype(np.int32)
+    impacts = rng.random((N, T)).astype(np.float32) * 4.0
+    q_terms = rng.integers(0, V, (Q, QT)).astype(np.int32)
+    q_weights = np.ones((Q, QT), np.float32)
+
+    tj, ij = jnp.asarray(term_ids), jnp.asarray(impacts)
+    qj, wj = jnp.asarray(q_terms), jnp.asarray(q_weights)
+
+    @jax.jit
+    def loop(tj, ij, qj, wj):
+        def body(i, acc):
+            vals, _ = bm25_topk(tj, ij, qj, wj + acc * 1e-9, K)
+            return acc + vals[0, 0]
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    dt = _device_time(loop, tj, ij, qj, wj) / iters
+    tpu_qps = Q / dt
+
+    # host baseline: inverted-index accumulate (Lucene-equivalent work).
+    # Postings built once via a single sort of the flat (term, doc, impact)
+    # triples — index-build cost is excluded from timing on both sides.
+    nq = 32
+    flat_terms = term_ids.ravel()
+    order = np.argsort(flat_terms, kind="stable")
+    sorted_terms = flat_terms[order]
+    sorted_docs = (order // T).astype(np.int32)
+    sorted_imp = impacts.ravel()[order]
+    postings = {}
+    for t in np.unique(q_terms[:nq]):
+        lo = np.searchsorted(sorted_terms, t, "left")
+        hi = np.searchsorted(sorted_terms, t, "right")
+        postings[int(t)] = (sorted_docs[lo:hi], sorted_imp[lo:hi])
+    t0 = time.time()
+    for qi in range(nq):
+        scores = np.zeros(N, np.float32)
+        for t in q_terms[qi]:
+            docs, imp = postings[int(t)]
+            np.add.at(scores, docs, imp)
+        idx = np.argpartition(-scores, K)[:K]
+        scores[idx]
+    cpu_qps = nq / max(time.time() - t0, 1e-9)
+    return tpu_qps, cpu_qps
+
+
+def _emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
+    print(json.dumps({"metric": metric, "value": round(value, 3),
+                      "unit": unit, "vs_baseline": round(vs_baseline, 3)}),
+          flush=True)
 
 
 def main() -> None:
+    _enable_compile_cache()
+    failures = []
+
+    def safe(name, fn):
+        t0 = time.time()
+        try:
+            return fn()
+        except Exception:  # noqa: BLE001
+            failures.append(name)
+            traceback.print_exc(file=sys.stderr)
+            return None
+        finally:
+            print(f"[bench] {name}: {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+
+    # ---- SDAG prefill
+    r = safe("sdag_prefill", bench_sdag_prefill)
+    if r:
+        sdag_ms, causal_ms, xla_ms = r
+        _emit("sdag_prefill_ms_L4096_docs20", sdag_ms, "ms",
+              causal_ms / sdag_ms)
+        _emit("sdag_prefill_speedup_vs_dense_mask_xla", xla_ms / sdag_ms,
+              "x", xla_ms / sdag_ms)
+
+    # ---- decode
+    import bench_decode
+    for b in (1, 8):
+        r = safe(f"decode_b{b}", lambda b=b: bench_decode.run(
+            batch=b, prompt=1024, steps=32, temperature=0.1, top_p=1.0,
+            iters=2))
+        if r:
+            _emit(f"decode_tok_s_b{b}_1b_bf16_prompt1024", r["tok_s"],
+                  "tok/s", r["roofline_frac"])
+
+    # ---- BM25
+    r = safe("bm25", bench_bm25)
+    if r:
+        tpu_qps, cpu_qps = r
+        _emit("bm25_qps_n100k_t128_k10", tpu_qps, "qps/chip",
+              tpu_qps / cpu_qps)
+
+    # ---- dense retrieval (headline LAST)
     rng = np.random.default_rng(0)
     N, D, K, Q = 100_000, 1024, 10, 256
     c = rng.standard_normal((N, D)).astype(np.float32)
     c /= np.linalg.norm(c, axis=1, keepdims=True)
     q = rng.standard_normal((Q, D)).astype(np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
+    cpu_qps = bench_cpu_dense_qps(q, c, K)
 
-    tpu_qps = bench_tpu_qps(q, c, K)
-    cpu_qps = bench_cpu_qps(q, c, K)
+    f32 = safe("dense_f32", lambda: bench_dense_qps(q, c, K, "f32"))
+    if f32:
+        _emit("dense_retrieval_qps_f32_n100k_d1024_k10", f32, "qps/chip",
+              f32 / cpu_qps)
+    bf16 = safe("dense_bf16", lambda: bench_dense_qps(q, c, K, "bf16"))
+    if bf16:
+        _emit("dense_retrieval_qps_per_chip_n100k_d1024_k10", bf16,
+              "qps/chip", bf16 / cpu_qps)
 
-    print(json.dumps({
-        "metric": "dense_retrieval_qps_per_chip_n100k_d1024_k10",
-        "value": round(tpu_qps, 1),
-        "unit": "qps/chip",
-        "vs_baseline": round(tpu_qps / cpu_qps, 2),
-    }))
+    if failures:
+        print(f"[bench] FAILED sections: {failures}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
