@@ -1,20 +1,39 @@
-// Lucene-style English analyzer: tokenize on non-alphanumerics, lowercase,
-// default English stopword removal, Porter stemming.
+// Lucene-EnglishAnalyzer-fidelity text analysis:
+//   StandardTokenizer (UAX#29 word segmentation, practical subset)
+//   -> EnglishPossessiveFilter ('s / ’s / ＇s stripped)
+//   -> LowerCaseFilter (Unicode 1:1 mappings, unicode_tables.h)
+//   -> StopFilter (Lucene ENGLISH_STOP_WORDS_SET, 33 words)
+//   -> PorterStemFilter (classic 1980 algorithm over codepoints; non-ASCII
+//      letters are consonants, exactly like Lucene's char-based stemmer)
 //
 // TPU-native replacement for the host-side half of the reference's
 // Pyserini/Lucene BM25 path (src/pipeline/retrieval/sparse.py:11-64): the
 // JVM analyzer chain becomes this C library (driven via ctypes); scoring
 // runs on device (sdag_tpu/ops/bm25.py).
 //
+// UAX#29 subset implemented (covers Wikipedia-scale corpora):
+//   - words = runs of Unicode letters/digits (category L* / Nd)
+//   - medial joins with one-codepoint lookahead: apostrophe between
+//     letters ("don't", "o'brien"), '.'/U+FF0E between letters or between
+//     digits ("example.com", "3.14"), ',' between digits ("1,000")
+//   - '_' (ExtendNumLet) joins into word tokens
+//   - Han and Hiragana ideograms tokenize one per codepoint; Katakana in
+//     runs (WB13); a Katakana<->ALetter join across '_' is not chained
+//   - tokens cap at 255 codepoints (StandardTokenizer maxTokenLength)
+// Known deviations are mirrored bit-for-bit by the Python fallback
+// (retrieval/analyzer.py) and covered by tests/fixtures golden cases.
+//
 // Batch protocol: documents separated by '\x02' on input; output tokens
 // separated by '\x01' within a doc, docs separated by '\x02'.
 
-#include <cctype>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <unordered_set>
 #include <vector>
+
+#include "unicode_tables.h"
 
 namespace {
 
@@ -28,12 +47,114 @@ const std::unordered_set<std::string>& stopwords() {
   return kStop;
 }
 
+bool in_ranges(uint32_t cp, const U32Range* r, int n) {
+  int lo = 0, hi = n - 1;
+  while (lo <= hi) {
+    int mid = (lo + hi) / 2;
+    if (cp < r[mid].lo) hi = mid - 1;
+    else if (cp > r[mid].hi) lo = mid + 1;
+    else return true;
+  }
+  return false;
+}
+
+uint32_t to_lower(uint32_t cp) {
+  if (cp < 128) return (cp >= 'A' && cp <= 'Z') ? cp + 32 : cp;
+  int lo = 0, hi = kLowerPairsCount - 1;
+  while (lo <= hi) {
+    int mid = (lo + hi) / 2;
+    if (cp < kLowerPairs[mid].from) hi = mid - 1;
+    else if (cp > kLowerPairs[mid].from) lo = mid + 1;
+    else return kLowerPairs[mid].to;
+  }
+  return cp;
+}
+
+enum Cls : uint8_t {
+  OTHER = 0, LETTER, DIGIT, HAN, HIRA, KATA, APOS, DOT, COMMA, UNDER
+};
+
+Cls classify(uint32_t cp) {
+  if (cp < 128) {  // fast ASCII path
+    if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) return LETTER;
+    if (cp >= '0' && cp <= '9') return DIGIT;
+    switch (cp) {
+      case '_': return UNDER;
+      case '\'': return APOS;
+      case '.': return DOT;
+      case ',': return COMMA;
+      default: return OTHER;
+    }
+  }
+  if (cp == 0x2019 || cp == 0xFF07) return APOS;  // ' fullwidth '
+  if (cp == 0xFF0E) return DOT;                   // fullwidth .
+  // CJK before the general letter table (Han/Kana are category Lo)
+  if ((cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+      (cp >= 0xF900 && cp <= 0xFAFF) || (cp >= 0x20000 && cp <= 0x2FA1F))
+    return HAN;
+  if (cp >= 0x3041 && cp <= 0x309F) return HIRA;
+  if ((cp >= 0x30A0 && cp <= 0x30FF) || (cp >= 0x31F0 && cp <= 0x31FF) ||
+      (cp >= 0xFF66 && cp <= 0xFF9D))
+    return KATA;
+  if (in_ranges(cp, kDigitRanges, kDigitRangesCount)) return DIGIT;
+  if (in_ranges(cp, kLetterRanges, kLetterRangesCount)) return LETTER;
+  return OTHER;
+}
+
 // ---------------------------------------------------------------------------
-// Porter stemmer (classic 1980 algorithm).
+// UTF-8 <-> codepoints
 // ---------------------------------------------------------------------------
+void decode_utf8(const char* p, const char* end, std::vector<uint32_t>* out) {
+  while (p < end) {
+    unsigned char c = static_cast<unsigned char>(*p);
+    uint32_t cp;
+    int len;
+    if (c < 0x80) { cp = c; len = 1; }
+    else if ((c >> 5) == 0x6) { cp = c & 0x1F; len = 2; }
+    else if ((c >> 4) == 0xE) { cp = c & 0x0F; len = 3; }
+    else if ((c >> 3) == 0x1E) { cp = c & 0x07; len = 4; }
+    else { ++p; continue; }  // stray continuation byte: skip
+    if (p + len > end) break;
+    bool ok = true;
+    for (int i = 1; i < len; ++i) {
+      unsigned char cc = static_cast<unsigned char>(p[i]);
+      if ((cc >> 6) != 0x2) { ok = false; break; }
+      cp = (cp << 6) | (cc & 0x3F);
+    }
+    if (!ok) { ++p; continue; }
+    out->push_back(cp);
+    p += len;
+  }
+}
+
+void encode_utf8(uint32_t cp, std::string* out) {
+  if (cp < 0x80) {
+    out->push_back(static_cast<char>(cp));
+  } else if (cp < 0x800) {
+    out->push_back(static_cast<char>(0xC0 | (cp >> 6)));
+    out->push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else if (cp < 0x10000) {
+    out->push_back(static_cast<char>(0xE0 | (cp >> 12)));
+    out->push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    out->push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else {
+    out->push_back(static_cast<char>(0xF0 | (cp >> 18)));
+    out->push_back(static_cast<char>(0x80 | ((cp >> 12) & 0x3F)));
+    out->push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    out->push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Porter stemmer (classic 1980 algorithm) over codepoints.  Non-ASCII
+// letters fall through the vowel switch as consonants, matching Lucene's
+// char-based PorterStemmer.
+// ---------------------------------------------------------------------------
+typedef std::vector<uint32_t> U32;
+
 class PorterStemmer {
  public:
-  std::string stem(const std::string& in) {
+  U32 stem(const U32& in) {
     if (in.size() <= 2) return in;
     b_ = in;
     k_ = static_cast<int>(b_.size()) - 1;
@@ -43,11 +164,11 @@ class PorterStemmer {
     step3();
     step4();
     step5();
-    return b_.substr(0, k_ + 1);
+    return U32(b_.begin(), b_.begin() + k_ + 1);
   }
 
  private:
-  std::string b_;
+  U32 b_;
   int k_ = 0;
   int j_ = 0;
 
@@ -62,8 +183,7 @@ class PorterStemmer {
     }
   }
 
-  // measure of consonant-vowel sequences between 0 and j_
-  int m() const {
+  int m() const {  // consonant-vowel sequence measure over [0, j_]
     int n = 0, i = 0;
     while (true) {
       if (i > j_) return n;
@@ -102,21 +222,23 @@ class PorterStemmer {
 
   bool cvc(int i) const {
     if (i < 2 || !cons(i) || cons(i - 1) || !cons(i - 2)) return false;
-    char ch = b_[i];
+    uint32_t ch = b_[i];
     return ch != 'w' && ch != 'x' && ch != 'y';
   }
 
   bool ends(const char* s) {
     int l = static_cast<int>(std::strlen(s));
     if (l > k_ + 1) return false;
-    if (b_.compare(k_ - l + 1, l, s) != 0) return false;
+    for (int i = 0; i < l; ++i)
+      if (b_[k_ - l + 1 + i] != static_cast<uint32_t>(s[i])) return false;
     j_ = k_ - l;
     return true;
   }
 
   void setto(const char* s) {
     int l = static_cast<int>(std::strlen(s));
-    b_.replace(j_ + 1, b_.size() - j_ - 1, s);
+    b_.resize(j_ + 1 + l);
+    for (int i = 0; i < l; ++i) b_[j_ + 1 + i] = static_cast<uint32_t>(s[i]);
     k_ = j_ + l;
   }
 
@@ -139,7 +261,7 @@ class PorterStemmer {
       else if (ends("iz")) setto("ize");
       else if (doublec(k_)) {
         k_--;
-        char ch = b_[k_];
+        uint32_t ch = b_[k_];
         if (ch == 'l' || ch == 's' || ch == 'z') k_++;
       } else if (m() == 1 && cvc(k_)) {
         setto("e");
@@ -252,28 +374,115 @@ class PorterStemmer {
   }
 };
 
+// ---------------------------------------------------------------------------
+// Tokenizer + filter chain
+// ---------------------------------------------------------------------------
+constexpr int kMaxTokenLen = 255;  // StandardTokenizer maxTokenLength
+
+bool is_alnum_cls(Cls c) {
+  return c == LETTER || c == DIGIT || c == HAN || c == HIRA || c == KATA;
+}
+
 void analyze_doc(const char* begin, const char* end, std::string* out) {
+  std::vector<uint32_t> cps;
+  cps.reserve(static_cast<size_t>(end - begin));
+  decode_utf8(begin, end, &cps);
+  std::vector<Cls> cls(cps.size());
+  for (size_t i = 0; i < cps.size(); ++i) cls[i] = classify(cps[i]);
+
   PorterStemmer stemmer;
-  std::string tok;
+  U32 cur;
+  bool cur_has_alnum = false;
   bool first = true;
+  Cls mode = OTHER;  // WORD-ish (LETTER) or KATA run
+
   auto flush = [&]() {
-    if (tok.empty()) return;
-    if (stopwords().count(tok) == 0) {
-      std::string stemmed = stemmer.stem(tok);
-      if (!stemmed.empty()) {
-        if (!first) out->push_back('\x01');
-        out->append(stemmed);
-        first = false;
+    if (!cur.empty() && cur_has_alnum) {
+      // EnglishPossessiveFilter: strip trailing 's / 'S (all apostrophes)
+      size_t n = cur.size();
+      if (n >= 2 && (cur[n - 1] == 's' || cur[n - 1] == 'S') &&
+          (cur[n - 2] == 0x27 || cur[n - 2] == 0x2019 ||
+           cur[n - 2] == 0xFF07)) {
+        cur.resize(n - 2);
+      }
+      for (auto& cp : cur) cp = to_lower(cp);
+      std::string utf8;
+      for (uint32_t cp : cur) encode_utf8(cp, &utf8);
+      if (!utf8.empty() && stopwords().count(utf8) == 0) {
+        U32 stemmed = stemmer.stem(cur);
+        std::string sout;
+        for (uint32_t cp : stemmed) encode_utf8(cp, &sout);
+        if (!sout.empty()) {
+          if (!first) out->push_back('\x01');
+          out->append(sout);
+          first = false;
+        }
       }
     }
-    tok.clear();
+    cur.clear();
+    cur_has_alnum = false;
+    mode = OTHER;
   };
-  for (const char* p = begin; p != end; ++p) {
-    unsigned char c = static_cast<unsigned char>(*p);
-    if (std::isalnum(c)) {
-      tok.push_back(static_cast<char>(std::tolower(c)));
-    } else {
+
+  const size_t n = cps.size();
+  for (size_t i = 0; i < n; ++i) {
+    const Cls c = cls[i];
+    if (static_cast<int>(cur.size()) >= kMaxTokenLen && is_alnum_cls(c))
       flush();
+    switch (c) {
+      case HAN:
+      case HIRA:
+        flush();
+        cur.push_back(cps[i]);
+        cur_has_alnum = true;
+        flush();
+        break;
+      case KATA:
+        if (mode != KATA) flush();
+        mode = KATA;
+        cur.push_back(cps[i]);
+        cur_has_alnum = true;
+        break;
+      case LETTER:
+      case DIGIT:
+        if (mode == KATA) flush();
+        mode = LETTER;
+        cur.push_back(cps[i]);
+        cur_has_alnum = true;
+        break;
+      case UNDER:  // ExtendNumLet joins into word tokens
+        if (mode == KATA) flush();
+        mode = LETTER;
+        cur.push_back(cps[i]);
+        break;
+      case APOS:  // MidLetter: letter ' letter
+        if (mode == LETTER && !cur.empty() && classify(cur.back()) == LETTER
+            && i + 1 < n && cls[i + 1] == LETTER) {
+          cur.push_back(cps[i]);
+        } else {
+          flush();
+        }
+        break;
+      case DOT:  // MidNumLet: letter.letter or digit.digit
+        if (mode == LETTER && !cur.empty() && i + 1 < n &&
+            ((classify(cur.back()) == LETTER && cls[i + 1] == LETTER) ||
+             (classify(cur.back()) == DIGIT && cls[i + 1] == DIGIT))) {
+          cur.push_back(cps[i]);
+        } else {
+          flush();
+        }
+        break;
+      case COMMA:  // MidNum: digit,digit
+        if (mode == LETTER && !cur.empty() && i + 1 < n &&
+            classify(cur.back()) == DIGIT && cls[i + 1] == DIGIT) {
+          cur.push_back(cps[i]);
+        } else {
+          flush();
+        }
+        break;
+      default:
+        flush();
+        break;
     }
   }
   flush();

@@ -1,10 +1,15 @@
 """Text analysis front-end for BM25: C++ library via ctypes, Python fallback.
 
 The C++ analyzer (``sdag_tpu/native/analyzer.cpp``) reproduces Lucene's
-EnglishAnalyzer chain (tokenize, lowercase, default English stopwords,
-Porter stemming) so device-side BM25 ranking matches a Lucene/Pyserini
-baseline at equal analysis.  It is compiled on first use with the baked-in
-toolchain; the pure-Python fallback implements the identical algorithm.
+EnglishAnalyzer chain — StandardTokenizer (UAX#29 word segmentation,
+Unicode-aware: accents kept, CJK per-ideogram/Katakana runs, apostrophe /
+dot / comma medials), EnglishPossessiveFilter ('s stripping), Unicode
+LowerCaseFilter, the 33-word English stopword set, and Porter stemming —
+so device-side BM25 ranking matches a Lucene/Pyserini baseline at equal
+analysis.  It is compiled on first use with the baked-in toolchain; the
+pure-Python fallback implements the identical algorithm (agreement is
+tested), and ``tests/fixtures/lucene_english_golden.json`` pins the
+EnglishAnalyzer behavior case by case.
 """
 
 from __future__ import annotations
@@ -222,7 +227,132 @@ class _PyPorter:
             self.k -= 1
 
 
+# token classes (mirrors native/analyzer.cpp)
+_OTHER, _LETTER, _DIGIT, _HAN, _HIRA, _KATA, _APOS, _DOT, _COMMA, _UNDER = \
+    range(10)
+_MAX_TOKEN_LEN = 255  # StandardTokenizer maxTokenLength
+_APOSTROPHES = {0x27, 0x2019, 0xFF07}
+
+
+def _classify(ch: str) -> int:
+    cp = ord(ch)
+    if cp < 128:
+        if ("a" <= ch <= "z") or ("A" <= ch <= "Z"):
+            return _LETTER
+        if "0" <= ch <= "9":
+            return _DIGIT
+        return {"_": _UNDER, "'": _APOS, ".": _DOT, ",": _COMMA
+                }.get(ch, _OTHER)
+    if cp in (0x2019, 0xFF07):
+        return _APOS
+    if cp == 0xFF0E:
+        return _DOT
+    # CJK before the general letter category (Han/Kana are Lo)
+    if (0x4E00 <= cp <= 0x9FFF) or (0x3400 <= cp <= 0x4DBF) or \
+            (0xF900 <= cp <= 0xFAFF) or (0x20000 <= cp <= 0x2FA1F):
+        return _HAN
+    if 0x3041 <= cp <= 0x309F:
+        return _HIRA
+    if (0x30A0 <= cp <= 0x30FF) or (0x31F0 <= cp <= 0x31FF) or \
+            (0xFF66 <= cp <= 0xFF9D):
+        return _KATA
+    import unicodedata
+    cat = unicodedata.category(ch)
+    if cat == "Nd":
+        return _DIGIT
+    if cat.startswith("L"):
+        return _LETTER
+    return _OTHER
+
+
+def _lower1(ch: str) -> str:
+    """1:1 lowercase (first codepoint of the full mapping), matching the
+    native table and Java's Character.toLowerCase(int)."""
+    if ch.isascii():
+        return ch.lower()
+    import unicodedata
+    if not unicodedata.category(ch).startswith("L"):
+        return ch
+    low = ch.lower()
+    return low[0] if low else ch
+
+
+_ALNUM_CLS = {_LETTER, _DIGIT, _HAN, _HIRA, _KATA}
+
+
+def tokenize_uax29(text: str) -> List[str]:
+    """UAX#29-subset word segmentation (see native/analyzer.cpp header for
+    the exact subset); returns raw tokens before any filtering."""
+    cls = [_classify(ch) for ch in text]
+    n = len(text)
+    tokens: List[str] = []
+    cur: List[str] = []
+    cur_has_alnum = False
+    mode = _OTHER
+
+    def flush():
+        nonlocal cur, cur_has_alnum, mode
+        if cur and cur_has_alnum:
+            tokens.append("".join(cur))
+        cur = []
+        cur_has_alnum = False
+        mode = _OTHER
+
+    for i, ch in enumerate(text):
+        c = cls[i]
+        if len(cur) >= _MAX_TOKEN_LEN and c in _ALNUM_CLS:
+            flush()
+        if c in (_HAN, _HIRA):
+            flush()
+            tokens.append(ch)
+        elif c == _KATA:
+            if mode != _KATA:
+                flush()
+            mode = _KATA
+            cur.append(ch)
+            cur_has_alnum = True
+        elif c in (_LETTER, _DIGIT):
+            if mode == _KATA:
+                flush()
+            mode = _LETTER
+            cur.append(ch)
+            cur_has_alnum = True
+        elif c == _UNDER:  # ExtendNumLet joins into word tokens
+            if mode == _KATA:
+                flush()
+            mode = _LETTER
+            cur.append(ch)
+        elif c == _APOS:  # MidLetter: letter ' letter
+            if (mode == _LETTER and cur and _classify(cur[-1]) == _LETTER
+                    and i + 1 < n and cls[i + 1] == _LETTER):
+                cur.append(ch)
+            else:
+                flush()
+        elif c == _DOT:  # MidNumLet: letter.letter or digit.digit
+            if (mode == _LETTER and cur and i + 1 < n and
+                    ((_classify(cur[-1]) == _LETTER
+                      and cls[i + 1] == _LETTER) or
+                     (_classify(cur[-1]) == _DIGIT
+                      and cls[i + 1] == _DIGIT))):
+                cur.append(ch)
+            else:
+                flush()
+        elif c == _COMMA:  # MidNum: digit,digit
+            if (mode == _LETTER and cur and i + 1 < n and
+                    _classify(cur[-1]) == _DIGIT and cls[i + 1] == _DIGIT):
+                cur.append(ch)
+            else:
+                flush()
+        else:
+            flush()
+    flush()
+    return tokens
+
+
 class _PythonAnalyzer:
+    """Lucene EnglishAnalyzer chain: UAX#29 tokenize -> possessive filter ->
+    lowercase -> stopwords -> Porter.  Bit-identical to the C++ analyzer."""
+
     def __init__(self) -> None:
         self._stemmer = _PyPorter()
 
@@ -230,18 +360,18 @@ class _PythonAnalyzer:
         out = []
         for text in texts:
             toks = []
-            cur = []
-            for ch in text:
-                if ch.isascii() and ch.isalnum():
-                    cur.append(ch.lower())
-                else:
-                    if cur:
-                        toks.append("".join(cur))
-                        cur = []
-            if cur:
-                toks.append("".join(cur))
-            out.append([self._stemmer.stem(t) for t in toks
-                        if t not in ENGLISH_STOPWORDS])
+            for tok in tokenize_uax29(text):
+                # EnglishPossessiveFilter: strip trailing 's / 'S
+                if len(tok) >= 2 and tok[-1] in "sS" \
+                        and ord(tok[-2]) in _APOSTROPHES:
+                    tok = tok[:-2]
+                tok = "".join(_lower1(ch) for ch in tok)
+                if not tok or tok in ENGLISH_STOPWORDS:
+                    continue
+                stemmed = self._stemmer.stem(tok)
+                if stemmed:
+                    toks.append(stemmed)
+            out.append(toks)
         return out
 
 

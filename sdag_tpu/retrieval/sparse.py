@@ -34,7 +34,7 @@ class BM25Index:
 
     def __init__(self, doc_tokens: List[List[str]], meta: List[Dict[str, Any]],
                  k1: float = 0.9, b: float = 0.4,
-                 max_terms_per_doc: int = 256,
+                 max_terms_per_doc: Optional[int] = None,
                  max_query_terms: int = 32) -> None:
         if len(doc_tokens) != len(meta):
             raise ValueError("meta length must match docs")
@@ -67,8 +67,20 @@ class BM25Index:
         self.idf = np.log(1.0 + (n - df_arr + 0.5) / (df_arr + 0.5))
         avgdl = dls.mean() if n else 1.0
 
-        lp = max((len(r) for r in tf_rows), default=1)
-        lp = min(_round_up(max(lp, 1), 128), _round_up(max_terms_per_doc, 128))
+        # Packed width = the true max distinct-terms-per-doc (no silent
+        # truncation — Lucene scores every term).  An explicit
+        # max_terms_per_doc cap is opt-in and warns loudly when it bites.
+        max_row = max((len(r) for r in tf_rows), default=1)
+        lp = _round_up(max(max_row, 1), 128)
+        if max_terms_per_doc is not None:
+            cap = _round_up(max_terms_per_doc, 128)
+            if cap < lp:
+                n_trunc = sum(len(r) > cap for r in tf_rows)
+                print(f"[bm25] WARNING: max_terms_per_doc={max_terms_per_doc}"
+                      f" truncates {n_trunc}/{n} docs (max distinct terms "
+                      f"{max_row}); ranking will deviate from Lucene",
+                      flush=True)
+            lp = min(lp, cap)
         term_ids = np.full((n, lp), PAD_TERM, np.int32)
         impacts = np.zeros((n, lp), np.float32)
         for i, row in enumerate(tf_rows):

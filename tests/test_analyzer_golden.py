@@ -1,0 +1,75 @@
+"""Golden-fixture tests: Lucene EnglishAnalyzer behavior + BM25 top-10.
+
+The fixture (tests/fixtures/lucene_english_golden.json) pins the analyzer
+chain case by case (hand-audited against documented Lucene semantics:
+UAX#29 StandardTokenizer, EnglishPossessiveFilter, LowerCaseFilter,
+stopwords, Porter) and freezes BM25 top-10 rankings over 50 docs so the
+full analyze->index->score->rank path is regression-locked
+(reference: ``src/pipeline/retrieval/sparse.py:36-108``).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sdag_tpu.retrieval.analyzer import (_build_native, _NativeAnalyzer,
+                                         _PythonAnalyzer)
+from sdag_tpu.retrieval.sparse import BM25Index
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "lucene_english_golden.json")
+
+
+@pytest.fixture(scope="module")
+def fix():
+    with open(FIXTURE, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def test_python_analyzer_matches_golden(fix):
+    pa = _PythonAnalyzer()
+    texts = [c["text"] for c in fix["analyzer_cases"]]
+    got = pa.analyze_batch(texts)
+    for case, out in zip(fix["analyzer_cases"], got):
+        assert out == case["expected"], case["text"]
+
+
+def test_native_analyzer_matches_golden(fix):
+    so = _build_native()
+    if so is None:
+        pytest.skip("no C++ toolchain")
+    na = _NativeAnalyzer(so)
+    texts = [c["text"] for c in fix["analyzer_cases"]]
+    got = na.analyze_batch(texts)
+    for case, out in zip(fix["analyzer_cases"], got):
+        assert out == case["expected"], case["text"]
+
+
+def test_native_and_python_agree_on_fuzz(fix):
+    """Beyond the golden cases: byte-identical agreement on messy inputs."""
+    so = _build_native()
+    if so is None:
+        pytest.skip("no C++ toolchain")
+    na, pa = _NativeAnalyzer(so), _PythonAnalyzer()
+    rng = np.random.default_rng(0)
+    pool = list("abcXYZ 0123.,'_-’一アあ́é"
+                "Ж가\U0001F600")
+    texts = ["".join(rng.choice(pool, size=rng.integers(1, 60)))
+             for _ in range(200)]
+    assert na.analyze_batch(texts) == pa.analyze_batch(texts)
+
+
+def test_bm25_top10_matches_golden(fix):
+    docs = fix["bm25"]["docs"]
+    index = BM25Index.from_texts([d["text"] for d in docs],
+                                 [d["id"] for d in docs],
+                                 k1=fix["bm25"]["k1"], b=fix["bm25"]["b"])
+    for case in fix["bm25"]["queries"]:
+        idx, scores = index.search([case["query"]], top_k=10)
+        got_ids = [docs[i]["id"] for i in idx[0] if i >= 0]
+        assert got_ids == case["top10_ids"], case["query"]
+        got_scores = [s for s in scores[0] if np.isfinite(s)]
+        np.testing.assert_allclose(got_scores, case["top10_scores"],
+                                   rtol=1e-4)
