@@ -83,6 +83,48 @@ def sharded_topk_search(queries: jax.Array, corpus: jax.Array, k: int,
     return fn(queries, corpus, scales)
 
 
+def sharded_bm25_topk(term_ids: jax.Array, impacts: jax.Array,
+                      q_terms: jax.Array, q_weights: jax.Array, k: int,
+                      valid_n: int, mesh: Mesh, axis: str = "index",
+                      block_n: int = 512, use_pallas: bool | None = None
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Exact BM25 top-k over row-sharded packed postings (mirrors
+    ``sharded_topk_search``; SURVEY §2.10 / VERDICT r1 item 6).
+
+    term_ids/impacts: [N_pad, T] sharded on rows along `axis`; queries
+    replicated.  Per-shard impact scoring + top-k, candidates all-gathered
+    over ICI, merged (score desc, global index asc).  Docs with no query
+    term match score 0 in the kernel and are mapped to (-inf, -1) exactly
+    like the single-device path (Lucene returns only matching docs).
+    """
+    from sdag_tpu.ops.bm25 import bm25_topk_dispatch
+
+    n_pad = term_ids.shape[0]
+    n_shards = mesh.shape[axis]
+    shard_rows_n = n_pad // n_shards
+
+    def local_search(qt, qw, t_shard, i_shard):
+        shard_id = jax.lax.axis_index(axis)
+        row0 = shard_id * shard_rows_n
+        local_valid = jnp.clip(valid_n - row0, 0, shard_rows_n)
+        vals, idx = bm25_topk_dispatch(t_shard, i_shard, qt, qw, k,
+                                       valid_n=local_valid, block_n=block_n,
+                                       use_pallas=use_pallas)
+        hit = vals > 0.0
+        gvals = jnp.where(hit, vals, -jnp.inf)
+        gidx = jnp.where(hit, idx + row0, jnp.iinfo(jnp.int32).max)
+        vals_all = jax.lax.all_gather(gvals, axis, axis=1, tiled=True)
+        gidx_all = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
+        mv, mi = merge_topk(vals_all, gidx_all, k)
+        return mv, jnp.where(jnp.isneginf(mv), -1, mi)
+
+    fn = shard_map(local_search, mesh=mesh,
+                   in_specs=(P(), P(), P(axis), P(axis)),
+                   out_specs=(P(), P()),
+                   check_vma=False)
+    return fn(q_terms, q_weights, term_ids, impacts)
+
+
 @partial(jax.jit, static_argnames=("axis_name",))
 def psum_scalar(x, axis_name: str = "data"):
     return jax.lax.psum(x, axis_name)

@@ -17,6 +17,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from sdag_tpu.core.mesh import make_index_mesh, shard_rows
 from sdag_tpu.datamodels import RetrievalBatch
 from sdag_tpu.ops.bm25 import PAD_TERM, bm25_topk_dispatch
 from sdag_tpu.retrieval.analyzer import analyze_texts
@@ -35,12 +36,16 @@ class BM25Index:
     def __init__(self, doc_tokens: List[List[str]], meta: List[Dict[str, Any]],
                  k1: float = 0.9, b: float = 0.4,
                  max_terms_per_doc: Optional[int] = None,
-                 max_query_terms: int = 32) -> None:
+                 max_query_terms: int = 32, mesh=None,
+                 block_n: int = 512) -> None:
         if len(doc_tokens) != len(meta):
             raise ValueError("meta length must match docs")
         self.meta = meta
         self.k1, self.b = float(k1), float(b)
         self.max_query_terms = max_query_terms
+        self.block_n = block_n
+        self.mesh = mesh if mesh is not None else make_index_mesh()
+        self.n_shards = self.mesh.shape["index"]
         n = len(doc_tokens)
         self.valid_n = n
 
@@ -81,8 +86,11 @@ class BM25Index:
                       f"{max_row}); ranking will deviate from Lucene",
                       flush=True)
             lp = min(lp, cap)
-        term_ids = np.full((n, lp), PAD_TERM, np.int32)
-        impacts = np.zeros((n, lp), np.float32)
+        # rows padded to a multiple of (block_n * n_shards) and sharded
+        # along the 'index' mesh axis, mirroring DenseIndex
+        n_pad = _round_up(max(n, 1), self.block_n * self.n_shards)
+        term_ids = np.full((n_pad, lp), PAD_TERM, np.int32)
+        impacts = np.zeros((n_pad, lp), np.float32)
         for i, row in enumerate(tf_rows):
             norm = self.k1 * (1.0 - self.b + self.b * dls[i] / avgdl)
             items = [(tid, self.idf[tid] * tf / (tf + norm))
@@ -92,8 +100,8 @@ class BM25Index:
                 term_ids[i, jcol] = tid
                 impacts[i, jcol] = imp
         self.avgdl = float(avgdl)
-        self.term_ids = jnp.asarray(term_ids)
-        self.impacts = jnp.asarray(impacts)
+        self.term_ids = shard_rows(jnp.asarray(term_ids), self.mesh, "index")
+        self.impacts = shard_rows(jnp.asarray(impacts), self.mesh, "index")
 
     # ------------------------------------------------------------- search
     def encode_queries(self, queries: Sequence[str]
@@ -119,9 +127,17 @@ class BM25Index:
         """Returns (indices [Q,k], scores [Q,k]); non-matching slots are
         index -1 / score -inf (Lucene only returns matching docs)."""
         q_terms, q_weights = self.encode_queries(queries)
-        vals, idx = bm25_topk_dispatch(
-            self.term_ids, self.impacts, jnp.asarray(q_terms),
-            jnp.asarray(q_weights), top_k, valid_n=self.valid_n)
+        if self.n_shards > 1:
+            from sdag_tpu.parallel.collectives import sharded_bm25_topk
+            vals, idx = sharded_bm25_topk(
+                self.term_ids, self.impacts, jnp.asarray(q_terms),
+                jnp.asarray(q_weights), top_k, valid_n=self.valid_n,
+                mesh=self.mesh, block_n=self.block_n)
+        else:
+            vals, idx = bm25_topk_dispatch(
+                self.term_ids, self.impacts, jnp.asarray(q_terms),
+                jnp.asarray(q_weights), top_k, valid_n=self.valid_n,
+                block_n=self.block_n)
         vals = np.asarray(vals).copy()
         idx = np.asarray(idx).copy()
         no_hit = vals <= 0.0
@@ -151,8 +167,9 @@ class BM25Index:
     def save(self, index_dir: str) -> None:
         os.makedirs(index_dir, exist_ok=True)
         np.savez(os.path.join(index_dir, "postings.npz"),
-                 term_ids=np.asarray(self.term_ids),
-                 impacts=np.asarray(self.impacts), idf=self.idf)
+                 term_ids=np.asarray(self.term_ids)[: self.valid_n],
+                 impacts=np.asarray(self.impacts)[: self.valid_n],
+                 idf=self.idf)
         with open(os.path.join(index_dir, "vocab.json"), "w") as f:
             json.dump(self.vocab, f)
         with open(os.path.join(index_dir, "meta.jsonl"), "w",
@@ -165,11 +182,21 @@ class BM25Index:
                        "max_query_terms": self.max_query_terms}, f)
 
     @classmethod
-    def load(cls, index_dir: str) -> "BM25Index":
+    def load(cls, index_dir: str, mesh=None,
+             block_n: int = 512) -> "BM25Index":
         obj = cls.__new__(cls)
         data = np.load(os.path.join(index_dir, "postings.npz"))
-        obj.term_ids = jnp.asarray(data["term_ids"])
-        obj.impacts = jnp.asarray(data["impacts"])
+        obj.mesh = mesh if mesh is not None else make_index_mesh()
+        obj.n_shards = obj.mesh.shape["index"]
+        obj.block_n = block_n
+        tids, imps = data["term_ids"], data["impacts"]
+        n_pad = _round_up(max(tids.shape[0], 1), block_n * obj.n_shards)
+        if n_pad != tids.shape[0]:
+            pad = ((0, n_pad - tids.shape[0]), (0, 0))
+            tids = np.pad(tids, pad, constant_values=PAD_TERM)
+            imps = np.pad(imps, pad)
+        obj.term_ids = shard_rows(jnp.asarray(tids), obj.mesh, "index")
+        obj.impacts = shard_rows(jnp.asarray(imps), obj.mesh, "index")
         obj.idf = data["idf"]
         with open(os.path.join(index_dir, "vocab.json")) as f:
             obj.vocab = json.load(f)

@@ -98,3 +98,29 @@ def test_index_save_load(tmp_path):
     idx2, s2 = index2.search(["fox jumps"], top_k=3)
     np.testing.assert_array_equal(idx1, idx2)
     np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+def test_sharded_bm25_matches_single_device():
+    """8-way row-sharded BM25 (per-shard top-k + all-gather merge) must be
+    bit-identical to the single-device search (VERDICT r1 item 6)."""
+    import jax
+    from sdag_tpu.core.mesh import make_index_mesh
+    from sdag_tpu.retrieval.sparse import BM25Index
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(200)]
+    docs = [" ".join(rng.choice(words, size=rng.integers(5, 40)))
+            for _ in range(700)]
+    ids = [f"d{i}" for i in range(len(docs))]
+    queries = [" ".join(rng.choice(words, size=4)) for _ in range(9)]
+
+    mesh8 = make_index_mesh()
+    assert mesh8.shape["index"] == 8
+    mesh1 = make_index_mesh(devices=[jax.devices()[0]])
+
+    idx8 = BM25Index.from_texts(docs, ids, mesh=mesh8)
+    idx1 = BM25Index.from_texts(docs, ids, mesh=mesh1)
+    i8, s8 = idx8.search(queries, top_k=10)
+    i1, s1 = idx1.search(queries, top_k=10)
+    np.testing.assert_array_equal(i8, i1)
+    np.testing.assert_allclose(s8, s1, rtol=1e-6)
