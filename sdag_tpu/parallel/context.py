@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from sdag_tpu.ops.attention import (sdag_attention_reference,
+from sdag_tpu.ops.attention import (DEFAULT_MASK_VALUE, _tile_mask,
+                                    sdag_attention_reference,
                                     sdag_flash_attention)
 
 
@@ -25,13 +26,24 @@ def context_parallel_prefill_attention(
     q, k, v, doc_id, nbr_bits, sys_user_len, valid_len, mesh: Mesh,
     axis: str = "model", impl: str = "auto",
     block_q: int = 128, block_k: int = 128,
+    kv_exchange: str = "all_gather",
 ):
     """SDAG prefill attention with the sequence axis sharded over `axis`.
 
     q/k/v: [B, H|Hkv, L, Dh] with L divisible by (mesh[axis] * block size);
     doc_id/nbr_bits: [B, L]; sys_user_len/valid_len: [B].
     Returns [B, H, L, Dh] sharded on the sequence axis.
+
+    kv_exchange:
+      "all_gather" — keys ride the ICI once into every device; fastest,
+        but per-device live KV is O(L).
+      "ring" — ring attention: each device streams the n KV chunks via
+        ``ppermute`` while folding them into running flash statistics;
+        per-device live KV stays O(L/n) (VERDICT r1 item 7).
     """
+    if kv_exchange == "ring":
+        return ring_prefill_attention(q, k, v, doc_id, nbr_bits,
+                                      sys_user_len, valid_len, mesh, axis)
     n = mesh.shape[axis]
     L = q.shape[2]
     if L % n:
@@ -58,6 +70,82 @@ def context_parallel_prefill_attention(
         return sdag_attention_reference(
             q_s, k_full, v_full, did_full, nbr_full, sul, vl,
             q_offset=offset, doc_id_q=did_s, nbr_bits_q=nbr_s)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None, axis, None), P(None, None, axis, None),
+                  P(None, None, axis, None), P(None, axis), P(None, axis),
+                  P(None), P(None)),
+        out_specs=P(None, None, axis, None),
+        check_vma=False,
+    )
+    return fn(q, k, v, doc_id, nbr_bits, sys_user_len, valid_len)
+
+
+def ring_prefill_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
+                           valid_len, mesh: Mesh, axis: str = "model"):
+    """Memory-scalable context parallelism: ring attention with the SDAG
+    mask rule.
+
+    Each device keeps its q slice and streams the n KV chunks around the
+    ring (``jax.lax.ppermute``), folding every chunk into running online
+    softmax statistics (m, l, acc) — the standard flash combine.  Peak live
+    KV per device is one chunk, O(L/n), instead of the all-gather's O(L).
+    Numerics are f32 accumulators, identical to the flash kernels; parity
+    with ``sdag_attention_reference`` is tested on an 8-device mesh.
+    """
+    n = mesh.shape[axis]
+    L = q.shape[2]
+    if L % n:
+        raise ValueError(f"L={L} must divide the {axis} axis size {n}")
+    shard_len = L // n
+
+    def local(q_s, k_s, v_s, did_s, nbr_s, sul, vl):
+        idx = jax.lax.axis_index(axis)
+        B, H, Ls, Dh = q_s.shape
+        hkv = k_s.shape[1]
+        rep = H // hkv
+        scale = Dh ** -0.5
+
+        i = (idx * shard_len
+             + jax.lax.broadcasted_iota(jnp.int32, (Ls, shard_len), 0))
+        j_local = jax.lax.broadcasted_iota(jnp.int32, (Ls, shard_len), 1)
+
+        qg = (q_s.reshape(B, hkv, rep, Ls, Dh).astype(jnp.float32) * scale)
+        m0 = jnp.full((B, hkv, rep, Ls), DEFAULT_MASK_VALUE, jnp.float32)
+        l0 = jnp.zeros((B, hkv, rep, Ls), jnp.float32)
+        acc0 = jnp.zeros((B, hkv, rep, Ls, Dh), jnp.float32)
+        perm = [(d, (d + 1) % n) for d in range(n)]
+
+        def body(s, carry):
+            k_c, v_c, did_c, m, l, acc = carry
+            src = (idx - s) % n
+            j = src * shard_len + j_local
+
+            def mask_b(did_q_b, did_k_b, nbr_q_b, sul_b, vl_b):
+                return _tile_mask(i, j, did_q_b[:, None], did_k_b[None, :],
+                                  nbr_q_b[:, None], sul_b, vl_b)
+
+            mask = jax.vmap(mask_b)(did_s, did_c, nbr_s, sul, vl)  # [B,Ls,Lc]
+            s_raw = jnp.einsum("bgrld,bgjd->bgrlj", qg,
+                               k_c.astype(jnp.float32))
+            s_msk = jnp.where(mask[:, None, None], s_raw, DEFAULT_MASK_VALUE)
+            m_new = jnp.maximum(m, jnp.max(s_msk, axis=-1))
+            p = jnp.exp(s_msk - m_new[..., None])
+            p = jnp.where(mask[:, None, None], p, 0.0)
+            corr = jnp.exp(m - m_new)
+            l = l * corr + jnp.sum(p, axis=-1)
+            acc = acc * corr[..., None] + jnp.einsum(
+                "bgrlj,bgjd->bgrld", p, v_c.astype(jnp.float32))
+            k_c = jax.lax.ppermute(k_c, axis, perm)
+            v_c = jax.lax.ppermute(v_c, axis, perm)
+            did_c = jax.lax.ppermute(did_c, axis, perm)
+            return k_c, v_c, did_c, m_new, l, acc
+
+        _, _, _, _, l, acc = jax.lax.fori_loop(
+            0, n, body, (k_s, v_s, did_s, m0, l0, acc0))
+        out = acc / jnp.maximum(l, 1e-30)[..., None]
+        return out.reshape(B, H, Ls, Dh).astype(q_s.dtype)
 
     fn = shard_map(
         local, mesh=mesh,

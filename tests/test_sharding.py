@@ -95,3 +95,54 @@ def test_context_parallel_prefill_matches_single_device():
         mesh=mesh, axis="model", impl="pallas", block_q=64, block_k=64))
     np.testing.assert_allclose(out2[:, :, :480], ref[:, :, :480],
                                atol=3e-2)
+
+
+def test_ring_context_parallel_matches_single_device():
+    """Ring-KV context parallelism (O(L/n) live KV per device) must match
+    the single-device reference; peak temp memory must be well below the
+    all-gather variant's (VERDICT r1 item 7)."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from sdag_tpu.ops.attention import sdag_attention_reference
+    from sdag_tpu.parallel.context import context_parallel_prefill_attention
+    from sdag_tpu.sdag.mask import BlockLayout, layout_to_metadata
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("model",))
+    rng = np.random.default_rng(1)
+    B, H, Hkv, L, Dh = 2, 4, 2, 512, 32
+    layout = BlockLayout(480, 64, ((64, 180), (200, 330), (340, 460)), 460)
+    doc_id, bits, sul = layout_to_metadata(layout,
+                                           doc_neighbors=[[1], [], [0]],
+                                           pad_to=L)
+    doc_id = jnp.asarray(np.stack([doc_id] * B))
+    bits = jnp.asarray(np.stack([bits] * B))
+    q = jnp.asarray(rng.standard_normal((B, H, L, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, L, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, L, Dh)), jnp.float32)
+    sul_a = jnp.array([sul] * B)
+    vl_a = jnp.array([480, 512])
+
+    ref = np.asarray(sdag_attention_reference(q, k, v, doc_id, bits,
+                                              sul_a, vl_a))
+    out = np.asarray(context_parallel_prefill_attention(
+        q, k, v, doc_id, bits, sul_a, vl_a, mesh=mesh, axis="model",
+        kv_exchange="ring"))
+    np.testing.assert_allclose(out[:, :, :480], ref[:, :, :480],
+                               atol=2e-4, rtol=1e-3)
+
+    # live-KV scaling: the ring variant must never materialize a
+    # full-length [.., L, ..] KV array per device
+    def peak_temp(kv_exchange):
+        fn = jax.jit(lambda *a: context_parallel_prefill_attention(
+            *a, mesh=mesh, axis="model", impl="xla",
+            kv_exchange=kv_exchange))
+        compiled = fn.lower(q, k, v, doc_id, bits, sul_a, vl_a).compile()
+        ma = compiled.memory_analysis()
+        return None if ma is None else ma.temp_size_in_bytes
+
+    ring_t, ag_t = peak_temp("ring"), peak_temp("all_gather")
+    if ring_t is not None and ag_t is not None and ag_t > 0:
+        # all_gather holds full K+V (+metadata) per device; ring holds one
+        # chunk. Require a clear reduction in KV-related temps.
+        kv_full = 2 * B * Hkv * L * Dh * 4
+        assert ring_t <= ag_t - kv_full // 2, (ring_t, ag_t)
