@@ -127,6 +127,17 @@ class Config:
             raise ValueError(f"Unknown DEFENSE_BACKEND: {self.DEFENSE_BACKEND}")
         if self.ATTACK_VARIANT not in {"malicious_doc", "doc_corruption"}:
             raise ValueError(f"Unknown ATTACK_VARIANT: {self.ATTACK_VARIANT}")
+        # SDAG doc-neighbor sets are int32 bitmasks (sdag/mask.py
+        # MAX_DOC_BLOCKS): every prompt doc (top-k survivors + injected
+        # malicious docs) needs a bit. Fail here, not mid-experiment.
+        from sdag_tpu.sdag.mask import MAX_DOC_BLOCKS
+        max_docs = (max(self.TOP_K, default=0)
+                    + self.MAX_MALICIOUS_DOCS_PER_QUERY)
+        if max_docs > MAX_DOC_BLOCKS:
+            raise ValueError(
+                f"TOP_K + MAX_MALICIOUS_DOCS_PER_QUERY can reach "
+                f"{max_docs} prompt docs, above the {MAX_DOC_BLOCKS}-doc "
+                f"SDAG bitmask limit (sdag/mask.py MAX_DOC_BLOCKS)")
 
     def init_seeds(self) -> None:
         random.seed(self.SEED)

@@ -38,20 +38,36 @@ def rrf_fuse_one_query(
     dense_docs: List[str], dense_ids: List[str],
     k0: int = RRF_K0,
 ) -> Tuple[List[str], List[str], List[float]]:
-    """Fuse two rankings by RRF score sum; ties by score descending."""
+    """Fuse two rankings by RRF score sum.
+
+    Deterministic order: stable sort by score desc over candidates in
+    (sparse rank order, then dense) — identical to the device fuser
+    (ops/rrf.py).  Lucene no-match padding slots (empty text, ""/"NA" id)
+    are excluded from fusion.
+    """
     sparse_rank = {}
     for i, (d, did) in enumerate(zip(sparse_docs, sparse_ids), start=1):
+        if not d and (did in (None, "", "NA")):
+            continue  # no-hit padding, not a document
         sparse_rank.setdefault(_key_for(did, d), i)
     dense_rank = {}
     for i, (d, did) in enumerate(zip(dense_docs, dense_ids), start=1):
+        if not d and (did in (None, "", "NA")):
+            continue
         dense_rank.setdefault(_key_for(did, d), i)
 
     rep = {}
-    for d, did in list(zip(sparse_docs, sparse_ids)) + list(zip(dense_docs, dense_ids)):
-        rep.setdefault(_key_for(did, d), (d, did))
+    order: List[str] = []
+    for d, did in list(zip(sparse_docs, sparse_ids)) + \
+            list(zip(dense_docs, dense_ids)):
+        key = _key_for(did, d)
+        if key in rep or (not d and (did in (None, "", "NA"))):
+            continue
+        rep[key] = (d, did)
+        order.append(key)
 
     fused = []
-    for key in set(sparse_rank) | set(dense_rank):
+    for key in order:
         score = 0.0
         if key in sparse_rank:
             score += 1.0 / (k0 + sparse_rank[key])
@@ -60,7 +76,7 @@ def rrf_fuse_one_query(
         doc, did = rep[key]
         fused.append((score, doc, did))
 
-    fused.sort(key=lambda x: x[0], reverse=True)
+    fused.sort(key=lambda x: -x[0])  # stable: ties keep candidate order
     return ([d for _, d, _ in fused], [i for _, _, i in fused],
             [s for s, _, _ in fused])
 
@@ -94,8 +110,20 @@ class HybridRetriever(Retriever):
         self.seed = seed
         self.k0 = k0
 
+    def _same_corpus(self) -> bool:
+        """Device fusion requires both indexes over the same corpus order
+        (global index == doc identity)."""
+        dm = getattr(getattr(self.dense, "index", None), "meta", None)
+        sm = getattr(getattr(self.sparse, "index", None), "meta", None)
+        return (dm is not None and sm is not None and len(dm) == len(sm)
+                and (not dm or (dm[0].get("id") == sm[0].get("id")
+                                and dm[-1].get("id") == sm[-1].get("id"))))
+
     def retrieve_batch(self, queries: Sequence[str], max_k_needed: int,
                        embed_batch_size: int) -> RetrievalBatch:
+        if self._same_corpus():
+            return self._retrieve_batch_device(queries, max_k_needed,
+                                               embed_batch_size)
         dense = self.dense.retrieve_batch(queries, max_k_needed, embed_batch_size)
         sparse = self.sparse.retrieve_batch(queries, max_k_needed, embed_batch_size)
         texts, ids_, scores = fuse_sparse_and_dense_batch(
@@ -104,3 +132,49 @@ class HybridRetriever(Retriever):
             top_k=max_k_needed, seed=self.seed, k0=self.k0)
         return RetrievalBatch(q_embs=dense.q_embs, docs_texts_full=texts,
                               ids_full=ids_, scores_full=scores)
+
+    def _retrieve_batch_device(self, queries: Sequence[str],
+                               max_k_needed: int,
+                               embed_batch_size: int) -> RetrievalBatch:
+        """Device-side RRF: both searches return global corpus indices and
+        fusion runs as a jitted op (ops/rrf.py) — the north-star 'hybrid
+        fusion runs on device' item.  Same seeded odd-k split, same
+        (score desc, sparse-first) order as the host fuser."""
+        import numpy as np
+
+        from sdag_tpu.ops.rrf import rrf_fuse_topk
+
+        q_embs = self.dense.encoder.encode(list(queries), kind="query",
+                                           batch_size=embed_batch_size)
+        d_idx, _ = self.dense.index.search(q_embs, max_k_needed)
+        s_idx, _ = self.sparse.index.search(list(queries), max_k_needed)
+
+        rng = random.Random(self.seed)
+        ks, kd = [], []
+        for _ in queries:
+            a, b = split_k_between_sparse_and_dense(max_k_needed, rng)
+            ks.append(a)
+            kd.append(b)
+        fused_idx, fused_sc = rrf_fuse_topk(
+            np.asarray(s_idx, np.int32), np.asarray(d_idx, np.int32),
+            np.asarray(ks, np.int32), np.asarray(kd, np.int32),
+            k0=self.k0, top_k=max_k_needed)
+        fused_idx = np.asarray(fused_idx)
+        fused_sc = np.asarray(fused_sc)
+
+        meta = self.dense.index.meta
+        texts, ids_, scores = [], [], []
+        for row_i, row_s in zip(fused_idx, fused_sc):
+            t, d, s = [], [], []
+            for i, sc in zip(row_i, row_s):
+                if i < 0:
+                    break  # -1 padding: fused list is shorter than top_k
+                t.append(meta[i].get("text", ""))
+                d.append(str(meta[i].get("id", "NA")))
+                s.append(float(sc))
+            texts.append(t)
+            ids_.append(d)
+            scores.append(s)
+        return RetrievalBatch(q_embs=list(np.asarray(q_embs)),
+                              docs_texts_full=texts, ids_full=ids_,
+                              scores_full=scores)

@@ -72,3 +72,18 @@ def test_config_validate():
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_config_validate_sdag_doc_block_cap():
+    """TOP_K + injected malicious docs above the 31-doc int32-bitmask limit
+    must fail at config time, not mid-experiment (VERDICT r1 item 8)."""
+    import pytest
+    from sdag_tpu.config import Config
+
+    cfg = Config()
+    cfg.TOP_K = [30]
+    cfg.MAX_MALICIOUS_DOCS_PER_QUERY = 5
+    with pytest.raises(ValueError, match="SDAG bitmask limit"):
+        cfg.validate()
+    cfg.TOP_K = [10]
+    cfg.validate()  # 10 + 5 <= 31: fine

@@ -48,3 +48,48 @@ def test_fuse_batch_truncates_to_top_k():
         dense_texts=[["d1", "d2", "d3"]], dense_ids=[["4", "5", "6"]],
         top_k=2, seed=7)
     assert len(texts[0]) <= 2 and len(ids_[0]) <= 2 and len(scores[0]) <= 2
+
+
+def test_device_rrf_matches_host_fuser():
+    """Device-side RRF (ops/rrf.py via HybridRetriever) must reproduce the
+    host fuser exactly: same seeded odd-k split, same dedup, same
+    (score desc, sparse-first) order (VERDICT r1 item 10)."""
+    import numpy as np
+    from sdag_tpu.models.e5 import (E5Encoder, EncoderConfig,
+                                    init_encoder_params)
+    from sdag_tpu.models.tokenizer import ByteTokenizer
+    from sdag_tpu.retrieval.dense import DenseIndex, DenseRetriever
+    from sdag_tpu.retrieval.hybrid import (HybridRetriever,
+                                           fuse_sparse_and_dense_batch)
+    from sdag_tpu.retrieval.sparse import BM25Index, SparseRetriever
+    import jax
+
+    rng = np.random.default_rng(5)
+    words = [f"tok{i}" for i in range(60)]
+    docs = [" ".join(rng.choice(words, size=rng.integers(4, 15)))
+            for _ in range(40)]
+    ids = [f"doc{i}" for i in range(40)]
+    queries = [" ".join(rng.choice(words, size=3)) for _ in range(6)]
+
+    cfg = EncoderConfig.tiny()
+    enc = E5Encoder(init_encoder_params(jax.random.PRNGKey(0), cfg), cfg,
+                    ByteTokenizer(), model_name="e5")
+    dense = DenseRetriever(enc, DenseIndex.from_texts(docs, ids, enc))
+    sparse = SparseRetriever(BM25Index.from_texts(docs, ids))
+    hybrid = HybridRetriever(dense, sparse, seed=11)
+    assert hybrid._same_corpus()
+
+    k = 7  # odd: exercises the seeded coin flip
+    got = hybrid.retrieve_batch(queries, max_k_needed=k, embed_batch_size=8)
+
+    d_batch = dense.retrieve_batch(queries, k, 8)
+    s_batch = sparse.retrieve_batch(queries, k, 8)
+    texts, ids_, scores = fuse_sparse_and_dense_batch(
+        s_batch.docs_texts_full, s_batch.ids_full,
+        d_batch.docs_texts_full, d_batch.ids_full,
+        top_k=k, seed=11)
+
+    assert got.ids_full == ids_
+    assert got.docs_texts_full == texts
+    for a, b in zip(got.scores_full, scores):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
