@@ -120,7 +120,11 @@ class Generator:
         temperature, top_p = self.temperature, self.top_p
         attn_impl = self.attn_impl
         cache_size = lp + max_new
-        block = 512 if lp % 512 == 0 else (self.block_align or 128)
+        # lp is always a multiple of pad_multiple (512 on TPU, where wide
+        # tiles win on grid/DMA overhead; 128 elsewhere), so the kernel
+        # block size simply follows it.  block_align only controls doc
+        # packing (sdag/spans.py), not kernel tiling.
+        block = self.pad_multiple
 
         @jax.jit
         def run(params, input_ids, doc_id, nbr_bits, sys_user_len, valid_len,
