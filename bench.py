@@ -164,7 +164,9 @@ def bench_bm25(iters: int = 20):
     from sdag_tpu.ops.bm25 import bm25_topk
 
     rng = np.random.default_rng(1)
-    N, T, V, Q, QT, K = 100_000, 128, 50_000, 256, 8, 10
+    # Q=32: the impact-scoring kernel's per-tile hit tensor is [Q, block_n,
+    # Lp] in VMEM, sized for retrieval-batch-sized query blocks
+    N, T, V, Q, QT, K = 100_000, 128, 50_000, 32, 8, 10
     term_ids = rng.integers(0, V, (N, T)).astype(np.int32)
     impacts = rng.random((N, T)).astype(np.float32) * 4.0
     q_terms = rng.integers(0, V, (Q, QT)).astype(np.int32)

@@ -55,18 +55,31 @@ def _bm25_topk_kernel(valid_ref, qt_ref, qw_ref, terms_ref, impacts_ref,
         vals_scratch[:] = jnp.full_like(vals_scratch, NEG_INF)
         idx_scratch[:] = jnp.full_like(idx_scratch, _INT_MAX)
 
-    terms = terms_ref[:]      # [block_n, Lp] int32
-    impacts = impacts_ref[:]  # [block_n, Lp] f32
     qp = vals_scratch.shape[0]
+    bn = terms_ref.shape[0]
+    lp = terms_ref.shape[1]
 
-    # scores [qp, block_n]: static loop over query-term slots.
-    scores = jnp.zeros((qp, terms.shape[0]), jnp.float32)
+    # scores [qp, block_n]: static loops over query-term slots and doc-term
+    # chunks.  Tiles are transposed once so every 3D intermediate keeps
+    # block_n on the minor (lane) axis — [qp, CH, block_n] at CH=16 is
+    # ~1MB and tiles cleanly; the naive [qp, block_n, Lp] form needed 50MB
+    # of scoped VMEM and a 32-minor layout spilled ~250MB of registers.
+    termsT = terms_ref[:].T      # [Lp, block_n] int32
+    impactsT = impacts_ref[:].T  # [Lp, block_n] f32
+    CH = min(16, lp)
+    scores = jnp.zeros((qp, bn), jnp.float32)
     for t in range(n_qterms):
         qt = qt_ref[:, t].reshape(qp, 1)          # [qp, 1]
         qw = qw_ref[:, t].reshape(qp, 1)
-        # per-doc contribution of this query term: [block_n]
-        hit = (terms[None, :, :] == qt[:, :, None])  # [qp, block_n, Lp]
-        contrib = jnp.sum(jnp.where(hit, impacts[None], 0.0), axis=2)
+        contrib = jnp.zeros_like(scores)
+        for c in range(0, lp, CH):
+            # lax.slice (static) — fancy indexing lowers to an unsupported
+            # gather under Mosaic
+            t_c = jax.lax.slice(termsT, (c, 0), (c + CH, bn))
+            i_c = jax.lax.slice(impactsT, (c, 0), (c + CH, bn))
+            hit = t_c[None, :, :] == qt[:, :, None]
+            contrib = contrib + jnp.sum(
+                jnp.where(hit, i_c[None, :, :], 0.0), axis=1)
         scores = scores + jnp.where(qt != PAD_TERM, qw * contrib, 0.0)
 
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)

@@ -122,10 +122,20 @@ class BM25Index:
                 q_weights[i, jcol] = c
         return q_terms, q_weights
 
+    # Query-batch chunk for one kernel call: the scoring kernel keeps a
+    # [Q, block_n, terms] hit tensor in VMEM, so large pipeline batches are
+    # chunked rather than blowing the 16MB VMEM budget.
+    QUERY_CHUNK = 32
+
     def search(self, queries: Sequence[str], top_k: int
                ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (indices [Q,k], scores [Q,k]); non-matching slots are
         index -1 / score -inf (Lucene only returns matching docs)."""
+        if len(queries) > self.QUERY_CHUNK:
+            parts = [self.search(queries[i:i + self.QUERY_CHUNK], top_k)
+                     for i in range(0, len(queries), self.QUERY_CHUNK)]
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
         q_terms, q_weights = self.encode_queries(queries)
         if self.n_shards > 1:
             from sdag_tpu.parallel.collectives import sharded_bm25_topk
