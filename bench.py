@@ -156,6 +156,46 @@ def bench_sdag_prefill(iters: int = 20):
     return sdag_s * 1e3, causal_s * 1e3, xla_s * 1e3
 
 
+def bench_cp_pallas_onchip():
+    """On-chip evidence for the context-parallel Pallas branch (VERDICT r1
+    item 9): run the flash kernel on a q-row slice with a non-zero
+    q_offset — exactly what each CP shard executes — and compare those
+    rows against the full-sequence kernel output.  Returns max abs err."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdag_tpu.ops.attention import sdag_flash_attention
+
+    B, H, KV, Dh, L = 1, 8, 4, 128, 2048
+    n_docs, sys_len, doc_len = 10, 256, 160
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, H, L, Dh), jnp.bfloat16)
+    k = jax.random.normal(kk, (B, KV, L, Dh), jnp.bfloat16)
+    v = jax.random.normal(kv, (B, KV, L, Dh), jnp.bfloat16)
+    doc_id = np.full(L, -1, np.int32)
+    nbr = np.zeros(L, np.int32)
+    for d in range(n_docs):
+        s = sys_len + d * doc_len
+        doc_id[s:s + doc_len] = d
+        nbr[s:s + doc_len] = (1 << max(d - 1, 0)) | (1 << min(d + 1,
+                                                              n_docs - 1))
+    doc_id = jnp.asarray(doc_id)[None]
+    nbr = jnp.asarray(nbr)[None]
+
+    full = jax.jit(lambda q, k, v: sdag_flash_attention(
+        q, k, v, doc_id, nbr, sys_len, block_q=512, block_k=512))(q, k, v)
+    s, e = 1024, 1536  # shard covering rows [1024, 1536)
+    part = jax.jit(lambda q, k, v: sdag_flash_attention(
+        q[:, :, s:e], k, v, doc_id, nbr, sys_len,
+        doc_id_q=doc_id[:, s:e], nbr_bits_q=nbr[:, s:e],
+        q_offset=jnp.full((B,), s, jnp.int32),
+        block_q=512, block_k=512))(q, k, v)
+    err = float(jnp.max(jnp.abs(part.astype(jnp.float32)
+                                - full[:, :, s:e].astype(jnp.float32))))
+    return err
+
+
 # ------------------------------------------------------------------ BM25
 def bench_bm25(iters: int = 20):
     import jax
@@ -251,6 +291,12 @@ def main() -> None:
         if r:
             _emit(f"decode_tok_s_b{b}_1b_bf16_prompt1024", r["tok_s"],
                   "tok/s", r["roofline_frac"])
+
+    # ---- context-parallel Pallas kernel on-chip (q_offset path)
+    r = safe("cp_pallas", bench_cp_pallas_onchip)
+    if r is not None:
+        _emit("cp_pallas_qoffset_max_abs_err", r, "abs",
+              1.0 if r < 5e-2 else 0.0)
 
     # ---- BM25
     r = safe("bm25", bench_bm25)
