@@ -160,6 +160,30 @@ def _unembed(params: Dict[str, Any], cfg: DecoderConfig, x: jax.Array):
     return x @ params["lm_head"]
 
 
+def layer_forward(layer: Dict[str, Any], cfg: DecoderConfig, x: jax.Array,
+                  positions: jax.Array, doc_id: jax.Array,
+                  nbr_bits: jax.Array, sys_user_len: jax.Array,
+                  valid_len: jax.Array, attn_impl: str = "auto",
+                  block_q: int = 128, block_k: int = 128,
+                  with_kv: bool = False):
+    """One decoder layer (attention + MLP with residuals).  Shared by the
+    prefill loop and the pipeline-parallel stage scan (parallel/pipeline.py).
+    Returns (x, (k, v)) — k/v only when with_kv."""
+    B, L, _ = x.shape
+    h = rms_norm(x, layer["ln1"], cfg.norm_eps)
+    q, k, v = _project_qkv(layer["attn"], h, cfg)
+    q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+    k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
+    # GQA handled inside the attention op (kv never repeated in memory)
+    attn_out = sdag_prefill_attention(
+        q, k, v, doc_id, nbr_bits, sys_user_len, valid_len=valid_len,
+        impl=attn_impl, block_q=block_q, block_k=block_k)
+    attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, L, -1)
+    x = x + attn_out @ layer["attn"]["wo"]
+    x = x + _mlp(layer["mlp"], rms_norm(x, layer["ln2"], cfg.norm_eps))
+    return x, ((k, v) if with_kv else None)
+
+
 def make_kv_cache(cfg: DecoderConfig, batch: int, size: int) -> Dict[str, Any]:
     shape = (cfg.n_layers, batch, cfg.n_kv_heads, size, cfg.head_dim)
     return {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
@@ -205,20 +229,13 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig,
 
     ks, vs = [], []
     for layer in params["layers"]:
-        h = rms_norm(x, layer["ln1"], cfg.norm_eps)
-        q, k, v = _project_qkv(layer["attn"], h, cfg)
-        q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
-        k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
+        x, kv = layer_forward(layer, cfg, x, positions, doc_id, nbr_bits,
+                              sys_user_len, valid_len, attn_impl=attn_impl,
+                              block_q=block_q, block_k=block_k,
+                              with_kv=with_cache)
         if with_cache:
-            ks.append(k)
-            vs.append(v)
-        # GQA handled inside the attention op (kv never repeated in memory)
-        attn_out = sdag_prefill_attention(
-            q, k, v, doc_id, nbr_bits, sys_user_len, valid_len=valid_len,
-            impl=attn_impl, block_q=block_q, block_k=block_k)
-        attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, L, -1)
-        x = x + attn_out @ layer["attn"]["wo"]
-        x = x + _mlp(layer["mlp"], rms_norm(x, layer["ln2"], cfg.norm_eps))
+            ks.append(kv[0])
+            vs.append(kv[1])
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = _unembed(params, cfg, x).astype(jnp.float32)

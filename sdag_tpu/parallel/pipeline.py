@@ -1,0 +1,167 @@
+"""Pipeline parallelism: GPipe-style microbatched training over a 'pipe'
+mesh axis.
+
+New design surface beyond the reference (inference-only, single device —
+SURVEY §2.10): the decoder's layers are split into contiguous stages, one
+per device along 'pipe'; microbatches stream through the ring via
+``jax.lax.ppermute`` inside a ``lax.scan`` schedule of n_micro + n_stages-1
+ticks (the classic GPipe bubble).  Embedding and unembedding weights are
+replicated; each device holds only its stage's layer stack, so per-device
+parameter memory is O(n_layers / n_stages).
+
+Composable with the tensor-parallel rules (parallel/sharding.py) by nesting
+axes; the dryrun and tests exercise 'pipe' alone for clarity.  Autodiff
+goes straight through scan + ppermute (its transpose is the reverse
+permute), so one ``jax.value_and_grad`` gives pipelined backward for free.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sdag_tpu.models.llama import DecoderConfig, layer_forward, rms_norm
+from sdag_tpu.parallel.train import TrainState, make_optimizer
+
+
+def stack_layer_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """[{layer0}, {layer1}, ...] -> one tree with leading layer axis."""
+    layers = params["layers"]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    out = {"embed": params["embed"], "final_norm": params["final_norm"],
+           "layers": stacked}
+    if "lm_head" in params:
+        out["lm_head"] = params["lm_head"]
+    return out
+
+
+def shard_stacked_params(stacked: Dict[str, Any], mesh: Mesh,
+                         axis: str = "pipe") -> Dict[str, Any]:
+    """Layer stacks sharded on the layer axis over `axis`; embed/norm/head
+    replicated."""
+    def place(path_is_layer, x):
+        spec = P(axis) if path_is_layer else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    out = {k: place(False, v) for k, v in stacked.items() if k != "layers"}
+    out["layers"] = jax.tree.map(lambda x: place(True, x), stacked["layers"])
+    return out
+
+
+def make_pp_train_step(cfg: DecoderConfig, mesh: Mesh, n_micro: int,
+                       optimizer: Optional[
+                           optax.GradientTransformation] = None,
+                       attn_impl: str = "xla", axis: str = "pipe"):
+    """Returns (init_state_fn, step_fn) for pipeline-parallel training.
+
+    init_state_fn takes the *plain* (list-of-layers) param tree and returns
+    a TrainState with stage-stacked, pipe-sharded params.
+    """
+    optimizer = optimizer or make_optimizer()
+    n_stages = mesh.shape[axis]
+    if cfg.n_layers % n_stages:
+        raise ValueError(f"n_layers={cfg.n_layers} must divide the {axis} "
+                         f"axis size {n_stages}")
+
+    def pp_loss(stacked, batch):
+        B = batch["input_ids"].shape[0]
+        if B % n_micro:
+            raise ValueError(f"batch {B} must divide n_micro {n_micro}")
+
+        def to_micro(x):
+            return x.reshape((n_micro, B // n_micro) + x.shape[1:])
+
+        mb = {k: to_micro(v) for k, v in batch.items()}
+        tied = "lm_head" not in stacked
+        lm_head = stacked["embed"] if tied else stacked["lm_head"]
+
+        def local(layers_stage, embed, final_norm, head, mb):
+            stage = jax.lax.axis_index(axis)
+            S = n_stages
+            ticks = n_micro + S - 1
+            mbsz, L = mb["input_ids"].shape[1], mb["input_ids"].shape[2]
+
+            def get_micro(m):
+                mc = jnp.clip(m, 0, n_micro - 1)
+                return {k: jax.lax.dynamic_index_in_dim(v, mc, 0,
+                                                        keepdims=False)
+                        for k, v in mb.items()}
+
+            perm = [(i, (i + 1) % S) for i in range(S)]
+            h0 = jnp.zeros((mbsz, L, cfg.d_model), cfg.dtype)
+
+            def tick(carry, t):
+                h_in, loss_sum, cnt = carry
+                m = t - stage  # microbatch index this stage works on
+                data = get_micro(m)
+                in_window = (m >= 0) & (m < n_micro)
+
+                active = data["doc_id"] != -2
+                positions = jnp.maximum(
+                    jnp.cumsum(active.astype(jnp.int32), axis=1) - 1, 0)
+                x0 = embed[data["input_ids"]].astype(cfg.dtype)
+                x = jnp.where(stage == 0, x0, h_in)
+
+                def layer_step(xc, layer):
+                    xc, _ = layer_forward(
+                        layer, cfg, xc, positions, data["doc_id"],
+                        data["nbr_bits"], data["sys_user_len"],
+                        data["valid_len"], attn_impl=attn_impl)
+                    return xc, None
+
+                x, _ = jax.lax.scan(layer_step, x, layers_stage)
+
+                def last_stage_loss(_):
+                    xn = rms_norm(x, final_norm, cfg.norm_eps)
+                    w = head.T if tied else head
+                    logits = (xn @ w).astype(jnp.float32)
+                    logp = jax.nn.log_softmax(logits, axis=-1)
+                    tgt = jnp.take_along_axis(
+                        logp, data["targets"][..., None], axis=-1)[..., 0]
+                    lmask = data["loss_mask"].astype(jnp.float32) \
+                        * in_window.astype(jnp.float32)
+                    return -(tgt * lmask).sum(), lmask.sum()
+
+                dl, dc = jax.lax.cond(
+                    stage == S - 1, last_stage_loss,
+                    lambda _: (jnp.float32(0.0), jnp.float32(0.0)), None)
+                h_next = jax.lax.ppermute(x, axis, perm)
+                return (h_next, loss_sum + dl, cnt + dc), None
+
+            (h, loss_sum, cnt), _ = jax.lax.scan(
+                tick, (h0, jnp.float32(0.0), jnp.float32(0.0)),
+                jnp.arange(ticks))
+            del h
+            loss_sum = jax.lax.psum(loss_sum, axis)
+            cnt = jax.lax.psum(cnt, axis)
+            return loss_sum / jnp.maximum(cnt, 1.0)
+
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P(axis), stacked["layers"]),
+                      P(), P(), P(), P()),
+            out_specs=P(),
+            check_vma=False)
+        return fn(stacked["layers"], stacked["embed"],
+                  stacked["final_norm"], lm_head, mb)
+
+    def init_state(params) -> TrainState:
+        stacked = shard_stacked_params(stack_layer_params(params), mesh,
+                                       axis)
+        opt_state = optimizer.init(stacked)
+        return TrainState(params=stacked, opt_state=opt_state,
+                          step=jnp.zeros((), jnp.int32))
+
+    def step_fn(state: TrainState, batch) -> Tuple[TrainState, jax.Array]:
+        loss, grads = jax.value_and_grad(pp_loss)(state.params, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    jit_step = jax.jit(step_fn, donate_argnums=(0,))
+    return init_state, jit_step, pp_loss
