@@ -112,7 +112,7 @@ def bench_sdag_prefill(iters: int = 20):
     import jax.numpy as jnp
 
     from sdag_tpu.ops.attention import (sdag_attention_reference,
-                                        sdag_flash_attention)
+                                        sdag_prefill_attention)
 
     B, H, KV, Dh, L = 1, 16, 8, 128, 4096
     n_docs, sys_len, doc_len = 20, 256, 176
@@ -147,8 +147,9 @@ def bench_sdag_prefill(iters: int = 20):
         return _device_time(loop, q, k, v, di, nb) / iters
 
     def flash(q, k, v, di, nb, sul):
-        return sdag_flash_attention(q, k, v, di, nb, sul,
-                                    block_q=512, block_k=512)
+        # production dispatch: KV-resident Pallas schedule on TPU
+        return sdag_prefill_attention(q, k, v, di, nb, sul,
+                                      block_q=512, block_k=512)
 
     sdag_s = timed(flash, doc_id, nbr_bits, sys_len)
     causal_s = timed(flash, causal_doc_id, zeros, 0)

@@ -368,6 +368,163 @@ def sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
     return out.reshape(B, H, Lq, Dh)
 
 
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "scale",
+                                             "interpret"))
+def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
+                               valid_len=None, block_q: int = 512,
+                               block_k: int = 512,
+                               scale: Optional[float] = None,
+                               interpret: bool = False,
+                               doc_id_q=None, nbr_bits_q=None, q_offset=None):
+    """KV-resident block-sparse flash attention.
+
+    Same contract as ``sdag_flash_attention``, different schedule: the grid
+    is (B*H, nQ) and each step keeps the head's FULL K/V resident in VMEM,
+    looping over key tiles inside the kernel.  The grid kernel's BlockSpec
+    prefetch DMAs every K/V tile even for SKIP tiles, so block sparsity
+    saves MXU work but not HBM traffic — at prefill sizes the op is
+    DMA-bound, which is why SDAG only measured ~1.1x plain causal despite
+    2-3x fewer live tiles.  Here K/V ride the ICI->VMEM path once per
+    (batch, kv-head) (the index map is constant in qi, so Pallas revisits
+    the same block without re-fetching) and SKIP tiles cost nothing.
+
+    Requires K+V for one (b, kv-head) to fit VMEM: L*Dh*itemsize*2 ⪅ 8MB
+    (L=16k bf16 at Dh=128 is 8MB).  Callers should fall back to
+    ``sdag_flash_attention`` beyond that.
+    """
+    B, H, Lq, Dh = q.shape
+    L = k.shape[2]
+    n_kv = k.shape[1]
+    if H % n_kv:
+        raise ValueError(f"q heads {H} not a multiple of kv heads {n_kv}")
+    n_rep = H // n_kv
+    scale = scale if scale is not None else Dh ** -0.5
+    block_q = min(block_q, Lq)
+    block_k = min(block_k, L)
+    if Lq % block_q or L % block_k:
+        raise ValueError(f"Lq={Lq}/Lk={L} must divide the block sizes")
+    if doc_id_q is None:
+        doc_id_q = doc_id
+    if nbr_bits_q is None:
+        nbr_bits_q = nbr_bits
+
+    sys_user_len = jnp.broadcast_to(jnp.asarray(sys_user_len, jnp.int32),
+                                    (B,))
+    valid_len = (jnp.broadcast_to(jnp.asarray(valid_len, jnp.int32), (B,))
+                 if valid_len is not None
+                 else jnp.full((B,), L, jnp.int32))
+    q_offset = (jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
+                if q_offset is not None else jnp.zeros((B,), jnp.int32))
+    meta = jnp.stack([sys_user_len, valid_len, q_offset], axis=1)  # [B, 3]
+    kinds = compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
+                                block_q, block_k, doc_id_q=doc_id_q,
+                                nbr_bits_q=nbr_bits_q, q_offset=q_offset)
+
+    qf = q.reshape(B * H, Lq, Dh)
+    kf = k.reshape(B * n_kv, L, Dh)
+    vf = v.reshape(B * n_kv, L, Dh)
+    nq, nk = Lq // block_q, L // block_k
+
+    def kv_index(bh, qi, meta, kinds):
+        return ((bh // H) * n_kv + (bh % H) // n_rep, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B * H, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, Dh),
+                         lambda bh, qi, meta, kinds: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, Dh), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, Dh), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, block_q),
+                         lambda bh, qi, meta, kinds: (0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, L),
+                         lambda bh, qi, meta, kinds: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, block_q),
+                         lambda bh, qi, meta, kinds: (0, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, Dh),
+                               lambda bh, qi, meta, kinds: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, Dh), jnp.float32),
+        ],
+    )
+
+    def kernel(meta_smem, kinds_smem, q_ref, k_ref, v_ref, dq_ref, dk_ref,
+               nbr_ref, out_ref, m_s, l_s, acc_s):
+        bh = pl.program_id(0)
+        qi = pl.program_id(1)
+        b = bh // H
+        sul = meta_smem[b, 0]
+        vl = meta_smem[b, 1]
+        qoff = meta_smem[b, 2]
+
+        m_s[:] = jnp.full_like(m_s, -jnp.inf)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+        qb = q_ref[0].astype(jnp.bfloat16)
+        dq = dq_ref[b, :].reshape(block_q, 1)
+        nbr_q = nbr_ref[b, :].reshape(block_q, 1)
+        i = qoff + qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+
+        for ki in range(nk):  # static unroll; SKIP tiles cost one branch
+            kind = kinds_smem[b, qi, ki]
+
+            @pl.when(kind > BLOCK_SKIP)
+            def _tile(ki=ki):
+                kb = k_ref[0, ki * block_k:(ki + 1) * block_k, :]
+                vb = v_ref[0, ki * block_k:(ki + 1) * block_k, :]
+                s = jax.lax.dot_general(
+                    qb, kb.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                j = ki * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1)
+                dk = dk_ref[b, ki * block_k:(ki + 1) * block_k
+                            ].reshape(1, block_k)
+                mask = _tile_mask(i, j, dq, dk, nbr_q, sul, vl)
+                s = jnp.where(mask, s, -jnp.inf)
+
+                m_prev = m_s[:]
+                m_new = jnp.maximum(m_prev, jnp.max(s, axis=1,
+                                                    keepdims=True))
+                safe_m = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
+                alpha = jnp.where(jnp.isneginf(m_prev), 0.0,
+                                  jnp.exp(m_prev - safe_m))
+                p = jnp.exp(s - safe_m)
+                l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+                acc_s[:] = acc_s[:] * alpha + jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), vb.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                m_s[:] = m_new
+
+        l = l_s[:]
+        out_ref[0, :] = (acc_s[:] /
+                         jnp.where(l == 0.0, 1.0, l)).astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * H, Lq, Dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(meta, kinds, qf, kf, vf, doc_id_q, doc_id, nbr_bits_q)
+
+    return out.reshape(B, H, Lq, Dh)
+
+
 def _pack_kv_lists(kinds: jax.Array):
     """From block kinds [B, nQ, nK] build per-(b, q-block) worklists:
     counts [B, nQ], kv indices [B, nQ, nK] (needed tiles packed to the
@@ -565,13 +722,28 @@ def sdag_splash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
     return out.reshape(B, H, L, Dh)
 
 
+# One (b, kv-head)'s K+V must fit comfortably in VMEM for the KV-resident
+# schedule (16MB scoped limit; leave room for q/out/scratch).
+_KVRES_BUDGET_BYTES = 8 * 1024 * 1024
+
+
 def sdag_prefill_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                            valid_len=None, impl: str = "auto", **kw):
-    """Dispatch: Pallas flash kernel on TPU, XLA reference elsewhere."""
+    """Dispatch: Pallas flash kernel on TPU (KV-resident schedule when one
+    head's K+V fits VMEM — ~10% faster, zero DMA for skipped tiles; grid
+    kernel beyond that), XLA reference elsewhere."""
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas" and q.shape[2] % 128:
+    if impl in ("pallas", "pallas_kvres") and q.shape[2] % 128:
         impl = "xla"  # unpadded lengths fall back to the dense-mask path
+    if impl == "pallas":
+        kv_bytes = 2 * k.shape[2] * k.shape[3] * k.dtype.itemsize
+        if kv_bytes <= _KVRES_BUDGET_BYTES:
+            impl = "pallas_kvres"
+    if impl == "pallas_kvres":
+        return sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits,
+                                          sys_user_len, valid_len=valid_len,
+                                          **kw)
     if impl == "pallas":
         return sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                                     valid_len=valid_len, **kw)

@@ -136,3 +136,39 @@ def test_block_kinds_q_offset_slices():
         nbr_bits_q=jnp.asarray(bits[None, sl]),
         q_offset=jnp.asarray([128])))[0]
     np.testing.assert_array_equal(part, full[4:8])
+
+
+def test_kvres_kernel_matches_reference():
+    """KV-resident schedule (interpret mode) == dense-mask reference,
+    including the context-parallel q_offset path."""
+    from sdag_tpu.ops.attention import (sdag_attention_reference,
+                                        sdag_flash_attention_kvres)
+    from sdag_tpu.sdag.mask import BlockLayout, layout_to_metadata
+
+    rng = np.random.default_rng(4)
+    B, H, Hkv, L, Dh = 2, 4, 2, 512, 64
+    layout = BlockLayout(480, 64, ((64, 180), (200, 330), (340, 460)), 460)
+    d, nb, sul = layout_to_metadata(layout, doc_neighbors=[[1], [2], [0]],
+                                    pad_to=L)
+    d = jnp.asarray(np.stack([d] * B))
+    nb = jnp.asarray(np.stack([nb] * B))
+    q = jnp.asarray(rng.standard_normal((B, H, L, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, L, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, L, Dh)), jnp.float32)
+    sul_a = jnp.array([sul] * B)
+    vl_a = jnp.array([480, 512])
+
+    ref = np.asarray(sdag_attention_reference(q, k, v, d, nb, sul_a, vl_a))
+    out = np.asarray(sdag_flash_attention_kvres(
+        q, k, v, d, nb, sul_a, vl_a, block_q=64, block_k=64,
+        interpret=True))
+    np.testing.assert_allclose(out[:, :, :480], ref[:, :, :480], atol=3e-2)
+
+    # q-slice with global offset (context-parallel shard shape)
+    s, e = 128, 256
+    part = np.asarray(sdag_flash_attention_kvres(
+        q[:, :, s:e], k, v, d, nb, sul_a, vl_a,
+        doc_id_q=d[:, s:e], nbr_bits_q=nb[:, s:e],
+        q_offset=jnp.full((B,), s, jnp.int32),
+        block_q=64, block_k=64, interpret=True))
+    np.testing.assert_allclose(part, ref[:, :, s:e], atol=3e-2)
