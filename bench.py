@@ -72,14 +72,15 @@ def bench_dense_qps(q, c, k: int, dtype_name: str, iters: int = 50) -> float:
     cj = jnp.asarray(c, dtype=jnp.bfloat16) if dtype_name == "bf16" \
         else jnp.asarray(c)
 
+    recall = None
     if dtype_name == "bf16":
-        # recall gate: bf16 storage must not change top-k on this workload
-        _, i16 = fused_topk_matmul(qj[:64], cj, 10)
-        _, i32 = fused_topk_matmul(qj[:64], jnp.asarray(c), 10)
-        i16, i32 = np.asarray(i16), np.asarray(i32)
-        recall = np.mean([len(set(i16[r]) & set(i32[r])) / 10
-                          for r in range(i16.shape[0])])
-        assert recall >= 0.99, f"bf16 corpus recall@10 dropped to {recall}"
+        # recall@10 of the production bf16 path vs an exact f32 host scan
+        # (the BASELINE.md >=0.99 parity target, measured over all queries)
+        _, i16 = fused_topk_matmul(qj, cj, 10)
+        i16 = np.asarray(i16)
+        exact = np.argsort(-(q @ c.T), axis=1, kind="stable")[:, :10]
+        recall = float(np.mean([len(set(i16[r]) & set(exact[r])) / 10
+                                for r in range(q.shape[0])]))
 
     @jax.jit
     def loop(qj, cj):
@@ -89,7 +90,7 @@ def bench_dense_qps(q, c, k: int, dtype_name: str, iters: int = 50) -> float:
         return jax.lax.fori_loop(0, iters, body, 0.0)
 
     dt = _device_time(loop, qj, cj) / iters
-    return q.shape[0] / dt
+    return q.shape[0] / dt, recall
 
 
 def bench_cpu_dense_qps(q, c, k: int, n_queries: int = 32) -> float:
@@ -317,12 +318,14 @@ def main() -> None:
 
     f32 = safe("dense_f32", lambda: bench_dense_qps(q, c, K, "f32"))
     if f32:
-        _emit("dense_retrieval_qps_f32_n100k_d1024_k10", f32, "qps/chip",
-              f32 / cpu_qps)
+        _emit("dense_retrieval_qps_f32_n100k_d1024_k10", f32[0], "qps/chip",
+              f32[0] / cpu_qps)
     bf16 = safe("dense_bf16", lambda: bench_dense_qps(q, c, K, "bf16"))
     if bf16:
-        _emit("dense_retrieval_qps_per_chip_n100k_d1024_k10", bf16,
-              "qps/chip", bf16 / cpu_qps)
+        _emit("dense_recall_at10_vs_exact_f32", bf16[1], "recall",
+              bf16[1] / 0.99)  # >=1.0 passes the BASELINE.md parity target
+        _emit("dense_retrieval_qps_per_chip_n100k_d1024_k10", bf16[0],
+              "qps/chip", bf16[0] / cpu_qps)
 
     if failures:
         print(f"[bench] FAILED sections: {failures}", file=sys.stderr)
