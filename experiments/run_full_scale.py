@@ -33,21 +33,42 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REF_CSV = ("/root/reference/data/"
-           "poisonedRAG_attack_results_GPT4_NQ_5_mal_docs_per_query.csv")
-REF_JSON = "/root/reference/data/sampled_nq_1000_queries.json"
+sys.path.insert(0, REPO)
+DATASETS = {
+    "nq": ("poisonedRAG_attack_results_GPT4_NQ_5_mal_docs_per_query.csv",
+           "sampled_nq_1000_queries.json"),
+    "hotpotqa": ("poisonedRAG_attack_results_GPT4_hotpotQA_5_mal_docs_"
+                 "per_query.csv",
+                 "sampled_hotpotQA_1000_queries.json"),
+    # The reference's TriviaQA attack CSV is a missing large blob
+    # (.MISSING_LARGE_BLOBS); we regenerate it offline with the local-TPU
+    # backend of attack/poisoned_rag.py from the shipped query JSON.
+    "triviaqa": (None, "sampled_triviaQA_1000_queries.json"),
+}
 DOC_TRUNC = 400
 
 
-def prepare(workdir: str, sample_size: int) -> None:
+def prepare(workdir: str, sample_size: int, dataset: str) -> None:
     os.makedirs(workdir, exist_ok=True)
-    with open(REF_JSON, encoding="utf-8") as f:
+    csv_name, json_name = DATASETS[dataset]
+    ref_json = os.path.join("/root/reference/data", json_name)
+    if csv_name is None:  # regenerate the missing blob with our CLI
+        ref_csv = os.path.join(workdir, "attack_generated.csv")
+        if not os.path.exists(ref_csv):
+            from sdag_tpu.attack.poisoned_rag import main as prag_main
+            prag_main(["--dataset", dataset, "--backend", "local",
+                       "--samples_json", ref_json, "--out_csv", ref_csv,
+                       "--sample_size", str(sample_size),
+                       "--batch_size", "32"])
+    else:
+        ref_csv = os.path.join("/root/reference/data", csv_name)
+    with open(ref_json, encoding="utf-8") as f:
         qmeta = json.load(f)
     id_by_question = {q["question"]: str(q["id"]) for q in qmeta}
     gt_by_question = {q["question"]: q.get("short_answers", []) for q in qmeta}
 
     rows = []
-    with open(REF_CSV, encoding="utf-8") as f:
+    with open(ref_csv, encoding="utf-8") as f:
         for row in csv.DictReader(f):
             rows.append(row)
 
@@ -58,7 +79,7 @@ def prepare(workdir: str, sample_size: int) -> None:
     questions = [q["question"] for q in qmeta if q["question"] in by_q]
     questions = questions[:sample_size]
 
-    csv_path = os.path.join(workdir, "attack_nq.csv")
+    csv_path = os.path.join(workdir, "attack.csv")
     with open(csv_path, "w", newline="", encoding="utf-8") as f:
         w = csv.writer(f)
         w.writerow(["query", "query_id", "ground_truth_answers",
@@ -70,7 +91,7 @@ def prepare(workdir: str, sample_size: int) -> None:
                             row["false_answer"],
                             row["malicious_document"][:DOC_TRUNC]])
 
-    corpus_path = os.path.join(workdir, "corpus_nq.jsonl")
+    corpus_path = os.path.join(workdir, "corpus.jsonl")
     with open(corpus_path, "w", encoding="utf-8") as f:
         for q in questions:  # ground-truth pseudo-passages
             gts = gt_by_question.get(q, [])
@@ -92,8 +113,8 @@ def prepare(workdir: str, sample_size: int) -> None:
 
 
 def run_one(workdir: str, out_root: str, strategy: str,
-            sample_size: int) -> dict:
-    out_dir = os.path.join(out_root, f"nq1000_{strategy}")
+            sample_size: int, dataset: str) -> dict:
+    out_dir = os.path.join(out_root, f"{dataset}{sample_size}_{strategy}")
     os.makedirs(out_dir, exist_ok=True)
     cfg = {
         "SAMPLE_SIZE": sample_size,
@@ -104,9 +125,9 @@ def run_one(workdir: str, out_root: str, strategy: str,
         "MALICIOUS_DOC_SELECTION_STRATEGY": strategy,
         "RETRIEVER_BACKEND": "dense",
         "DENSE_INDEX_DTYPE": "bfloat16",
-        "CSV_INPUT_PATH": os.path.join(workdir, "attack_nq.csv"),
-        "CORPUS_JSONL_PATH": os.path.join(workdir, "corpus_nq.jsonl"),
-        "DENSE_INDEX_PATH": os.path.join(workdir, "dense_nq.index"),
+        "CSV_INPUT_PATH": os.path.join(workdir, "attack.csv"),
+        "CORPUS_JSONL_PATH": os.path.join(workdir, "corpus.jsonl"),
+        "DENSE_INDEX_PATH": os.path.join(workdir, "dense.index"),
         "OUTPUT_CSV_BASE": os.path.join(out_dir, "results"),
         "LLM_BATCH_SIZE": 8,
         "BATCH_SIZE_EMBED_Q": 64,
@@ -147,13 +168,17 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "experiments",
                                                   "results"))
     ap.add_argument("--workdir", default="/tmp/sdag_full_scale")
+    ap.add_argument("--dataset", default="nq", choices=sorted(DATASETS))
     args = ap.parse_args()
 
-    prepare(args.workdir, args.sample_size)
+    workdir = os.path.join(args.workdir, args.dataset)
+    prepare(workdir, args.sample_size, args.dataset)
     summary = []
     for s in args.strategies:
-        summary.append(run_one(args.workdir, args.out, s, args.sample_size))
-    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        summary.append(run_one(workdir, args.out, s, args.sample_size,
+                               args.dataset))
+    sp = os.path.join(args.out, f"summary_{args.dataset}.json")
+    with open(sp, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
 
