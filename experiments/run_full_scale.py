@@ -45,6 +45,10 @@ DATASETS = {
     # backend of attack/poisoned_rag.py from the shipped query JSON.
     "triviaqa": (None, "sampled_triviaQA_1000_queries.json"),
 }
+# Neutral corpus distractors come from the OTHER dataset's malicious-doc
+# pool (wiki-style passages unrelated to the eval queries) — the real
+# Wikipedia index the reference retrieves from is not shipped.
+DISTRACTOR_SOURCE = {"nq": "hotpotqa", "hotpotqa": "nq", "triviaqa": "nq"}
 DOC_TRUNC = 400
 
 
@@ -100,21 +104,25 @@ def prepare(workdir: str, sample_size: int, dataset: str) -> None:
                                 "text": text[:DOC_TRUNC]},
                                ensure_ascii=False) + "\n")
         n_dist = 0
-        for q, grp in by_q.items():  # distractors: other queries' mal docs
-            if q in set(questions):
-                continue
-            for row in grp:
+        src_csv = os.path.join(
+            "/root/reference/data", DATASETS[DISTRACTOR_SOURCE[dataset]][0])
+        with open(src_csv, encoding="utf-8") as sf:
+            for row in csv.DictReader(sf):
                 f.write(json.dumps(
                     {"id": f"dist_{n_dist}",
                      "text": row["malicious_document"][:DOC_TRUNC]},
                     ensure_ascii=False) + "\n")
                 n_dist += 1
-    print(f"[prep] {len(questions)} queries, corpus at {corpus_path}")
+    print(f"[prep] {len(questions)} queries, corpus at {corpus_path} "
+          f"({len(questions)} GT + {n_dist} distractor docs)")
 
 
 def run_one(workdir: str, out_root: str, strategy: str,
-            sample_size: int, dataset: str) -> dict:
-    out_dir = os.path.join(out_root, f"{dataset}{sample_size}_{strategy}")
+            sample_size: int, dataset: str, defense: str = "none") -> dict:
+    tag = f"{dataset}{sample_size}_{strategy}"
+    if defense != "none":
+        tag += f"_{defense}"
+    out_dir = os.path.join(out_root, tag)
     os.makedirs(out_dir, exist_ok=True)
     cfg = {
         "SAMPLE_SIZE": sample_size,
@@ -123,6 +131,7 @@ def run_one(workdir: str, out_root: str, strategy: str,
         "TOP_K": [5, 5, 10, 10],
         "ADD_ATTACK_IN_RANK": [1, 3, 1, 3],
         "MALICIOUS_DOC_SELECTION_STRATEGY": strategy,
+        "DEFENSE_BACKEND": defense,
         "RETRIEVER_BACKEND": "dense",
         "DENSE_INDEX_DTYPE": "bfloat16",
         "CSV_INPUT_PATH": os.path.join(workdir, "attack.csv"),
@@ -169,6 +178,8 @@ def main() -> None:
                                                   "results"))
     ap.add_argument("--workdir", default="/tmp/sdag_full_scale")
     ap.add_argument("--dataset", default="nq", choices=sorted(DATASETS))
+    ap.add_argument("--defense", default="none",
+                    choices=["none", "ragdefender", "discern_and_answer"])
     args = ap.parse_args()
 
     workdir = os.path.join(args.workdir, args.dataset)
@@ -176,8 +187,10 @@ def main() -> None:
     summary = []
     for s in args.strategies:
         summary.append(run_one(workdir, args.out, s, args.sample_size,
-                               args.dataset))
-    sp = os.path.join(args.out, f"summary_{args.dataset}.json")
+                               args.dataset, defense=args.defense))
+    suffix = args.dataset if args.defense == "none" \
+        else f"{args.dataset}_{args.defense}"
+    sp = os.path.join(args.out, f"summary_{suffix}.json")
     with open(sp, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))

@@ -17,9 +17,12 @@ def main() -> None:
         "Produced by `experiments/run_full_scale.py` on the reference's",
         "shipped data: 1000 queries per dataset, full TOP_K {5,10} x",
         "ADD_ATTACK_IN_RANK {1,3} grid, one run per malicious-doc selection",
-        "strategy, through the production CLI on the real chip.  The",
-        "TriviaQA attack CSV (a missing large blob upstream) is regenerated",
-        "offline with the local-TPU backend of `attack/poisoned_rag.py`.",
+        "strategy, through the production CLI on the real chip.  Corpus =",
+        "1000 ground-truth pseudo-passages + ~5000 wiki-style distractors",
+        "(the other dataset's malicious-doc pool; the real Wikipedia index",
+        "is not shipped).  The TriviaQA attack CSV (a missing large blob",
+        "upstream) is regenerated offline with the local-TPU backend of",
+        "`attack/poisoned_rag.py`.",
         "",
         "**Interpretation caveat (by design):** models are random-weight",
         "tiny configs — no checkpoints exist in this offline environment —",

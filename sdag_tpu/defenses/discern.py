@@ -75,6 +75,10 @@ def make_openai_classifier(api_key: str, model: str,
     return classify
 
 
+_CLASSIFIER_SYSTEM = ("You are a security classifier for Retrieval-"
+                      "Augmented Generation.")
+
+
 def make_local_classifier(generator, max_tokens: int = 16
                           ) -> Callable[[str, str], str]:
     """Classifier backed by the pipeline's own generator (egress-free)."""
@@ -82,9 +86,7 @@ def make_local_classifier(generator, max_tokens: int = 16
 
     def classify(query: str, passage: str) -> str:
         ids = build_plain_chat_ids(
-            generator.tokenizer,
-            "You are a security classifier for Retrieval-Augmented "
-            "Generation.",
+            generator.tokenizer, _CLASSIFIER_SYSTEM,
             discern_classifier_prompt(query, passage))
         out = generator.generate_ids([ids], max_new_tokens=max_tokens)[0]
         return parse_label(out)
@@ -92,10 +94,33 @@ def make_local_classifier(generator, max_tokens: int = 16
     return classify
 
 
+def make_local_batch_classifier(generator, max_tokens: int = 16,
+                                batch_size: int = 16):
+    """Batched local classifier: one jitted decode per chunk of (query,
+    passage) pairs instead of a B=1 generator call per document — the
+    difference between O(docs) and O(docs / batch) dispatches at scale."""
+    from sdag_tpu.sdag.spans import build_plain_chat_ids
+
+    def classify_batch(pairs: List[Tuple[str, str]]) -> List[str]:
+        labels: List[str] = []
+        for i in range(0, len(pairs), batch_size):
+            chunk = pairs[i:i + batch_size]
+            ids = [build_plain_chat_ids(
+                generator.tokenizer, _CLASSIFIER_SYSTEM,
+                discern_classifier_prompt(q, p)) for q, p in chunk]
+            outs = generator.generate_ids(ids, max_new_tokens=max_tokens)
+            labels.extend(parse_label(o) for o in outs)
+        return labels
+
+    return classify_batch
+
+
 class DiscernAndAnswerDefense(Defense):
     def __init__(self, classify: Callable[[str, str], str],
-                 max_docs_to_classify: int = 32) -> None:
+                 max_docs_to_classify: int = 32,
+                 classify_batch=None) -> None:
         self.classify = classify
+        self.classify_batch = classify_batch  # optional batched backend
         self.max_docs_to_classify = max_docs_to_classify
 
     def apply(self, query_id, query, corpus_docs, corpus_ids, corpus_scores,
@@ -112,16 +137,25 @@ class DiscernAndAnswerDefense(Defense):
         docs_cap, ids_cap = joint_docs[:cap], joint_ids[:cap]
         scores_cap = joint_scores[:cap] if joint_scores is not None else None
 
-        labels: List[str] = []
-        for did, doc in zip(ids_cap, docs_cap):
+        labels: List[Optional[str]] = []
+        misses: List[int] = []
+        for n, (did, doc) in enumerate(zip(ids_cap, docs_cap)):
             key = (str(query_id), str(did))
             if persistent_cache is not None and key in persistent_cache:
                 labels.append(persistent_cache[key])
-                continue
-            lab = self.classify(query, doc)
-            labels.append(lab)
-            if persistent_cache is not None:
-                persistent_cache[key] = lab
+            else:
+                labels.append(None)
+                misses.append(n)
+        if misses:
+            if self.classify_batch is not None:
+                new = self.classify_batch([(query, docs_cap[n])
+                                           for n in misses])
+            else:
+                new = [self.classify(query, docs_cap[n]) for n in misses]
+            for n, lab in zip(misses, new):
+                labels[n] = lab
+                if persistent_cache is not None:
+                    persistent_cache[(str(query_id), str(ids_cap[n]))] = lab
 
         kept = [(d, i, (scores_cap[n] if scores_cap is not None else None))
                 for n, (d, i, lab) in enumerate(zip(docs_cap, ids_cap, labels))

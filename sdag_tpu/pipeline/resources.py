@@ -157,14 +157,18 @@ def build_defense(cfg: Config, res: Resources):
         return EmbeddingFilterDefense(res.ranker)
     if cfg.DEFENSE_BACKEND == "discern_and_answer":
         from sdag_tpu.defenses.discern import (DiscernAndAnswerDefense,
+                                               make_local_batch_classifier,
                                                make_local_classifier,
                                                make_openai_classifier)
+        classify_batch = None
         if cfg.DISCERN_OPENAI_API_KEY:
             classify = make_openai_classifier(
                 cfg.DISCERN_OPENAI_API_KEY, cfg.DISCERN_CLASSIFIER_MODEL,
                 cfg.DISCERN_CLASSIFY_TEMPERATURE)
         else:
             classify = make_local_classifier(res.generator)
+            classify_batch = make_local_batch_classifier(res.generator)
         return DiscernAndAnswerDefense(
-            classify, max_docs_to_classify=cfg.DISCERN_MAX_DOCS_TO_CLASSIFY)
+            classify, max_docs_to_classify=cfg.DISCERN_MAX_DOCS_TO_CLASSIFY,
+            classify_batch=classify_batch)
     raise ValueError(f"Unknown DEFENSE_BACKEND: {cfg.DEFENSE_BACKEND}")

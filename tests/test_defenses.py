@@ -154,3 +154,37 @@ def test_selection_strategies():
                                           "closest_to_centroid", 1,
                                           rng=rng)[0]
     assert got == ["m"]  # random fallback when no retrieved docs
+
+
+def test_discern_batched_classifier_matches_sequential():
+    """The batched classify path must produce the same labels/survivors as
+    the per-doc path and fill the persistent cache identically."""
+    from sdag_tpu.defenses.discern import DiscernAndAnswerDefense
+
+    def classify(query, doc):
+        return "perturbed" if "LIE" in doc else "clean"
+
+    def classify_batch(pairs):
+        return [classify(q, d) for q, d in pairs]
+
+    docs = ["good one", "has LIE inside", "fine"]
+    ids = ["a", "b", "c"]
+    mals = ["LIE doc", "benign-looking"]
+    kw = dict(query_id="q1", query="q?", corpus_docs=docs, corpus_ids=ids,
+              corpus_scores=[3.0, 2.0, 1.0], malicious_docs=mals,
+              does_oracle=True)
+
+    cache_a, cache_b = {}, {}
+    seq = DiscernAndAnswerDefense(classify).apply(
+        **kw, persistent_cache=cache_a)
+    bat = DiscernAndAnswerDefense(classify, classify_batch=classify_batch
+                                  ).apply(**kw, persistent_cache=cache_b)
+    assert seq.doc_labels == bat.doc_labels
+    assert seq.ranked_docs == bat.ranked_docs
+    assert seq.malicious_docs_survived == bat.malicious_docs_survived
+    assert cache_a == cache_b
+    # cached entries short-circuit the classifier on a second apply
+    bat2 = DiscernAndAnswerDefense(
+        lambda q, d: "clean", classify_batch=lambda p: ["clean"] * len(p)
+    ).apply(**kw, persistent_cache=cache_b)
+    assert bat2.doc_labels == bat.doc_labels
