@@ -25,7 +25,9 @@ import optax
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from sdag_tpu.models.llama import DecoderConfig, layer_forward, rms_norm
+from sdag_tpu.models.llama import (DecoderConfig, layer_forward, rms_norm,
+                                   rope)
+from sdag_tpu.ops.attention import sdag_prefill_attention
 from sdag_tpu.parallel.train import TrainState, make_optimizer
 
 
@@ -40,32 +42,93 @@ def stack_layer_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def stacked_layer_specs(axis: str = "pipe",
+                        tp_axis: Optional[str] = None) -> Dict[str, Any]:
+    """PartitionSpecs for the stacked layer tree: layer axis over `axis`;
+    with tp_axis, Megatron column/row splits over it (heads and d_ff)."""
+    t = tp_axis
+    return {
+        "attn": {"wq": P(axis, None, t), "wk": P(axis, None, t),
+                 "wv": P(axis, None, t), "wo": P(axis, t, None)},
+        "mlp": {"gate": P(axis, None, t), "up": P(axis, None, t),
+                "down": P(axis, t, None)},
+        "ln1": P(axis), "ln2": P(axis),
+    }
+
+
 def shard_stacked_params(stacked: Dict[str, Any], mesh: Mesh,
-                         axis: str = "pipe") -> Dict[str, Any]:
-    """Layer stacks sharded on the layer axis over `axis`; embed/norm/head
-    replicated."""
-    def place(path_is_layer, x):
-        spec = P(axis) if path_is_layer else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
-    out = {k: place(False, v) for k, v in stacked.items() if k != "layers"}
-    out["layers"] = jax.tree.map(lambda x: place(True, x), stacked["layers"])
+                         axis: str = "pipe",
+                         tp_axis: Optional[str] = None) -> Dict[str, Any]:
+    """Layer stacks sharded on the layer axis over `axis` (plus Megatron
+    tensor splits over tp_axis when given); embed/norm/head replicated."""
+    out = {k: jax.device_put(v, NamedSharding(mesh, P()))
+           for k, v in stacked.items() if k != "layers"}
+    specs = stacked_layer_specs(axis, tp_axis)
+    out["layers"] = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        stacked["layers"], specs,
+        is_leaf=lambda x: isinstance(x, P))
     return out
+
+
+def _tp_layer_forward(layer, cfg: DecoderConfig, x, positions, doc_id,
+                      nbr_bits, sys_user_len, valid_len, attn_impl: str,
+                      tp_axis: str):
+    """One decoder layer with explicit Megatron collectives, operating on
+    the LOCAL tensor-parallel weight slices (wq/wk/wv/gate/up column-split,
+    wo/down row-split): two ``psum``s per layer over `tp_axis`.  Heads are
+    split across tp_axis, so both n_heads and n_kv_heads must divide it."""
+    B, L, _ = x.shape
+    hd = cfg.head_dim
+    a = layer["attn"]
+    h = rms_norm(x, layer["ln1"], cfg.norm_eps)
+    q = h @ a["wq"]
+    k = h @ a["wk"]
+    v = h @ a["wv"]
+    n_local = q.shape[-1] // hd
+    n_kv_local = k.shape[-1] // hd
+    q = q.reshape(B, L, n_local, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, L, n_kv_local, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, L, n_kv_local, hd).transpose(0, 2, 1, 3)
+    q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+    k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
+    attn = sdag_prefill_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
+                                  valid_len=valid_len, impl=attn_impl)
+    attn = attn.transpose(0, 2, 1, 3).reshape(B, L, -1)
+    x = x + jax.lax.psum(attn @ a["wo"], tp_axis)
+    m = layer["mlp"]
+    h2 = rms_norm(x, layer["ln2"], cfg.norm_eps)
+    mlp = (jax.nn.silu(h2 @ m["gate"]) * (h2 @ m["up"])) @ m["down"]
+    return x + jax.lax.psum(mlp, tp_axis)
 
 
 def make_pp_train_step(cfg: DecoderConfig, mesh: Mesh, n_micro: int,
                        optimizer: Optional[
                            optax.GradientTransformation] = None,
-                       attn_impl: str = "xla", axis: str = "pipe"):
+                       attn_impl: str = "xla", axis: str = "pipe",
+                       tp_axis: Optional[str] = None):
     """Returns (init_state_fn, step_fn) for pipeline-parallel training.
 
     init_state_fn takes the *plain* (list-of-layers) param tree and returns
     a TrainState with stage-stacked, pipe-sharded params.
+
+    With tp_axis (a second mesh axis), every stage's layers are ALSO
+    Megatron-split over it: attention heads and d_ff columns shard across
+    tp_axis with explicit psums inside the stage — 2D pipe x model
+    parallel training (scaling-book composition; both head counts must
+    divide the tp size).
     """
     optimizer = optimizer or make_optimizer()
     n_stages = mesh.shape[axis]
     if cfg.n_layers % n_stages:
         raise ValueError(f"n_layers={cfg.n_layers} must divide the {axis} "
                          f"axis size {n_stages}")
+    if tp_axis is not None:
+        tp = mesh.shape[tp_axis]
+        if cfg.n_heads % tp or cfg.n_kv_heads % tp or cfg.d_ff % tp:
+            raise ValueError(
+                f"n_heads={cfg.n_heads}/n_kv_heads={cfg.n_kv_heads}/"
+                f"d_ff={cfg.d_ff} must divide tp={tp}")
 
     def pp_loss(stacked, batch):
         B = batch["input_ids"].shape[0]
@@ -107,10 +170,16 @@ def make_pp_train_step(cfg: DecoderConfig, mesh: Mesh, n_micro: int,
                 x = jnp.where(stage == 0, x0, h_in)
 
                 def layer_step(xc, layer):
-                    xc, _ = layer_forward(
-                        layer, cfg, xc, positions, data["doc_id"],
-                        data["nbr_bits"], data["sys_user_len"],
-                        data["valid_len"], attn_impl=attn_impl)
+                    if tp_axis is not None:
+                        xc = _tp_layer_forward(
+                            layer, cfg, xc, positions, data["doc_id"],
+                            data["nbr_bits"], data["sys_user_len"],
+                            data["valid_len"], attn_impl, tp_axis)
+                    else:
+                        xc, _ = layer_forward(
+                            layer, cfg, xc, positions, data["doc_id"],
+                            data["nbr_bits"], data["sys_user_len"],
+                            data["valid_len"], attn_impl=attn_impl)
                     return xc, None
 
                 x, _ = jax.lax.scan(layer_step, x, layers_stage)
@@ -142,7 +211,7 @@ def make_pp_train_step(cfg: DecoderConfig, mesh: Mesh, n_micro: int,
 
         fn = shard_map(
             local, mesh=mesh,
-            in_specs=(jax.tree.map(lambda _: P(axis), stacked["layers"]),
+            in_specs=(stacked_layer_specs(axis, tp_axis),
                       P(), P(), P(), P()),
             out_specs=P(),
             check_vma=False)
@@ -151,7 +220,7 @@ def make_pp_train_step(cfg: DecoderConfig, mesh: Mesh, n_micro: int,
 
     def init_state(params) -> TrainState:
         stacked = shard_stacked_params(stack_layer_params(params), mesh,
-                                       axis)
+                                       axis, tp_axis=tp_axis)
         opt_state = optimizer.init(stacked)
         return TrainState(params=stacked, opt_state=opt_state,
                           step=jnp.zeros((), jnp.int32))

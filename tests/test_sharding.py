@@ -178,3 +178,31 @@ def test_pipeline_parallel_loss_matches_single_device():
     # params actually moved (compare against the pre-step snapshot)
     assert not np.allclose(np.asarray(state2.params["embed"]),
                            embed_before)
+
+
+def test_pipeline_plus_tensor_parallel_loss_matches():
+    """2D pipe x model parallelism: 4 stages x 2-way Megatron TP (explicit
+    in-stage psums) must reproduce the single-device LM loss."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from sdag_tpu.models.llama import DecoderConfig, init_decoder_params
+    from sdag_tpu.parallel.pipeline import make_pp_train_step
+    from sdag_tpu.parallel.train import lm_loss, make_dummy_batch
+
+    cfg = DecoderConfig(vocab_size=256, d_model=64, n_layers=4, n_heads=4,
+                        n_kv_heads=2, d_ff=128)
+    params = init_decoder_params(jax.random.PRNGKey(7), cfg)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                axis_names=("pipe", "model"))
+
+    batch = make_dummy_batch(cfg, batch=8, seq_len=32)
+    ref = float(lm_loss(params, cfg, batch))
+
+    init_state, step, pp_loss = make_pp_train_step(cfg, mesh, n_micro=4,
+                                                   tp_axis="model")
+    state = init_state(params)
+    got = float(pp_loss(state.params, batch))
+    np.testing.assert_allclose(got, ref, rtol=2e-5)
+
+    state2, loss = step(state, batch)
+    assert np.isfinite(float(loss)) and int(state2.step) == 1
