@@ -77,8 +77,7 @@ def run(batch: int, prompt: int, steps: int, temperature: float,
             cur = sample_tokens(sub, logits, temperature, top_p)
             return cur, cache, key, acc + cur[0]
         cur, cache, key, acc = jax.lax.fori_loop(
-            0, steps, body, (cur, cache, jax.random.PRNGKey(2),
-                             jnp.int32(0)))
+            0, steps, body, (cur, cache, key, jnp.int32(0)))
         return acc
 
     cur0 = jnp.zeros((batch,), jnp.int32)

@@ -163,6 +163,8 @@ def run_one(workdir: str, out_root: str, strategy: str,
         f.write(proc.stderr[-20000:])
     status = {"strategy": strategy, "rc": proc.returncode,
               "wall_s": round(wall, 1)}
+    with open(os.path.join(out_dir, "wall.json"), "w") as f:
+        json.dump(status, f)
     print(f"[run] {strategy}: rc={proc.returncode} wall={wall:.0f}s "
           f"-> {out_dir}")
     return status

@@ -39,13 +39,6 @@ def main() -> None:
               " gen ISO (s) | gen NOISO (s) |",
               "|---|---|---|---|---|---|"]
 
-    walls = {}
-    for sp in glob.glob(os.path.join(ROOT, "summary*.json")):
-        for entry in json.load(open(sp)):
-            walls[entry["strategy"]] = walls.get(entry["strategy"], {})
-            ds = os.path.basename(sp).replace("summary_", "").replace(
-                "summary", "").replace(".json", "") or "nq"
-            walls[entry["strategy"]][ds] = entry["wall_s"]
 
     for run_dir in sorted(glob.glob(os.path.join(ROOT, "*_*"))):
         if not os.path.isdir(run_dir):
@@ -71,9 +64,10 @@ def main() -> None:
                     k, {}).get("total_s", 0.0))
             rows += 1
         if rows:
-            strategy = run.split("_", 1)[1]
-            ds = run.split("1000", 1)[0]
-            wall = walls.get(strategy, {}).get(ds, float("nan"))
+            wall = float("nan")
+            wp = os.path.join(run_dir, "wall.json")
+            if os.path.exists(wp):
+                wall = json.load(open(wp)).get("wall_s", float("nan"))
             timing.append(
                 "| {} | {} | {:.1f} | {:.1f} | {:.1f} | {:.1f} |".format(
                     run, wall, t["init_resources"], t["retrieve"],

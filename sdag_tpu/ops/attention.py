@@ -371,8 +371,9 @@ def sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "scale",
                                              "interpret"))
 def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
-                               valid_len=None, block_q: int = 512,
-                               block_k: int = 512,
+                               valid_len=None,
+                               block_q: Optional[int] = None,
+                               block_k: Optional[int] = None,
                                scale: Optional[float] = None,
                                interpret: bool = False,
                                doc_id_q=None, nbr_bits_q=None, q_offset=None):
@@ -399,8 +400,17 @@ def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
         raise ValueError(f"q heads {H} not a multiple of kv heads {n_kv}")
     n_rep = H // n_kv
     scale = scale if scale is not None else Dh ** -0.5
-    block_q = min(block_q, Lq)
-    block_k = min(block_k, L)
+
+    def pick_block(length):
+        # largest MXU-friendly tile dividing the length (lengths are
+        # 128-multiples by the dispatcher's contract)
+        for cand in (512, 256, 128):
+            if length % cand == 0:
+                return cand
+        return min(length, 128)
+
+    block_q = min(block_q, Lq) if block_q else pick_block(Lq)
+    block_k = min(block_k, L) if block_k else pick_block(L)
     if Lq % block_q or L % block_k:
         raise ValueError(f"Lq={Lq}/Lk={L} must divide the block sizes")
     if doc_id_q is None:

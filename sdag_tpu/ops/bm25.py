@@ -74,9 +74,11 @@ def _bm25_topk_kernel(valid_ref, qt_ref, qw_ref, terms_ref, impacts_ref,
         contrib = jnp.zeros_like(scores)
         for c in range(0, lp, CH):
             # lax.slice (static) — fancy indexing lowers to an unsupported
-            # gather under Mosaic
-            t_c = jax.lax.slice(termsT, (c, 0), (c + CH, bn))
-            i_c = jax.lax.slice(impactsT, (c, 0), (c + CH, bn))
+            # gather under Mosaic; clamp the tail chunk when CH doesn't
+            # divide lp
+            hi = min(c + CH, lp)
+            t_c = jax.lax.slice(termsT, (c, 0), (hi, bn))
+            i_c = jax.lax.slice(impactsT, (c, 0), (hi, bn))
             hit = t_c[None, :, :] == qt[:, :, None]
             contrib = contrib + jnp.sum(
                 jnp.where(hit, i_c[None, :, :], 0.0), axis=1)

@@ -55,7 +55,11 @@ def sample_tokens(key: jax.Array, logits: jax.Array,
         return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
     kk = min(nucleus_topk, logits.shape[-1])
     vals, idx = jax.lax.top_k(logits, kk)          # sorted descending
-    probs = jax.nn.softmax(vals, axis=-1)
+    # True probabilities: normalize by the FULL-vocab partition function —
+    # softmax over the top-k alone inflates the CDF and narrows the kept
+    # set relative to the exact filter.
+    logz = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+    probs = jnp.exp(vals - logz)
     cum = jnp.cumsum(probs, axis=-1)
     keep = (cum - probs) < top_p                   # rank 0 always kept
     vals = jnp.where(keep, vals, -jnp.inf)

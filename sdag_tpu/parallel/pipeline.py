@@ -121,19 +121,19 @@ def make_pp_train_step(cfg: DecoderConfig, mesh: Mesh, n_micro: int,
     optimizer = optimizer or make_optimizer()
     n_stages = mesh.shape[axis]
     if cfg.n_layers % n_stages:
-        raise ValueError(f"n_layers={cfg.n_layers} must divide the {axis} "
-                         f"axis size {n_stages}")
+        raise ValueError(f"{axis} axis size {n_stages} must divide "
+                         f"n_layers={cfg.n_layers}")
     if tp_axis is not None:
         tp = mesh.shape[tp_axis]
         if cfg.n_heads % tp or cfg.n_kv_heads % tp or cfg.d_ff % tp:
             raise ValueError(
-                f"n_heads={cfg.n_heads}/n_kv_heads={cfg.n_kv_heads}/"
-                f"d_ff={cfg.d_ff} must divide tp={tp}")
+                f"tp={tp} must divide n_heads={cfg.n_heads}, "
+                f"n_kv_heads={cfg.n_kv_heads}, and d_ff={cfg.d_ff}")
 
     def pp_loss(stacked, batch):
         B = batch["input_ids"].shape[0]
         if B % n_micro:
-            raise ValueError(f"batch {B} must divide n_micro {n_micro}")
+            raise ValueError(f"n_micro={n_micro} must divide batch {B}")
 
         def to_micro(x):
             return x.reshape((n_micro, B // n_micro) + x.shape[1:])

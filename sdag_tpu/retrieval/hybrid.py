@@ -112,12 +112,21 @@ class HybridRetriever(Retriever):
 
     def _same_corpus(self) -> bool:
         """Device fusion requires both indexes over the same corpus order
-        (global index == doc identity)."""
+        (global index == doc identity).  Full id-sequence comparison, done
+        once per (dense, sparse) index pair and memoized — endpoint
+        sampling would silently fuse mismatched middles by index."""
         dm = getattr(getattr(self.dense, "index", None), "meta", None)
         sm = getattr(getattr(self.sparse, "index", None), "meta", None)
-        return (dm is not None and sm is not None and len(dm) == len(sm)
-                and (not dm or (dm[0].get("id") == sm[0].get("id")
-                                and dm[-1].get("id") == sm[-1].get("id"))))
+        if dm is None or sm is None:
+            return False
+        key = (id(dm), id(sm))
+        if getattr(self, "_same_corpus_key", None) == key:
+            return self._same_corpus_val
+        val = len(dm) == len(sm) and all(
+            a.get("id") == b.get("id") for a, b in zip(dm, sm))
+        self._same_corpus_key = key
+        self._same_corpus_val = val
+        return val
 
     def retrieve_batch(self, queries: Sequence[str], max_k_needed: int,
                        embed_batch_size: int) -> RetrievalBatch:

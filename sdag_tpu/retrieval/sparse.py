@@ -77,6 +77,15 @@ class BM25Index:
         # max_terms_per_doc cap is opt-in and warns loudly when it bites.
         max_row = max((len(r) for r in tf_rows), default=1)
         lp = _round_up(max(max_row, 1), 128)
+        if max_terms_per_doc is None and lp > 2048:
+            # one outlier doc widens the packed [N, lp] postings for the
+            # whole corpus (HBM = N*lp*8B); exactness is the default, but
+            # say so loudly and point at the opt-in cap
+            print(f"[bm25] WARNING: widest doc has {max_row} distinct "
+                  f"terms -> packed width {lp}; postings will take "
+                  f"~{len(tf_rows) * lp * 8 / 1e9:.1f} GB. Set "
+                  f"max_terms_per_doc to cap (deviates from Lucene).",
+                  flush=True)
         if max_terms_per_doc is not None:
             cap = _round_up(max_terms_per_doc, 128)
             if cap < lp:

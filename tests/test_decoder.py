@@ -202,15 +202,27 @@ def test_generator_batch_mixed_doc_counts(params):
 
 
 def test_bounded_nucleus_matches_exact_filter():
-    """sample_tokens' top-k-bounded nucleus must only ever emit tokens the
-    exact full-sort filter keeps (peaked distribution => nucleus fits in
-    top-k)."""
+    """sample_tokens' top-k-bounded nucleus must match the exact full-sort
+    filter EXACTLY whenever the nucleus fits in the top-k: same keep-set
+    size (the bounded CDF must use the full-vocab partition function, not a
+    top-k renormalization) and samples only from the exact keep-set."""
     rng = np.random.default_rng(0)
     base = rng.standard_normal((2, 512)).astype(np.float32)
     base[0, 7] += 8.0; base[0, 11] += 7.0      # peaked rows
     base[1, 3] += 9.0; base[1, 200] += 8.5
     logits = jnp.asarray(base)
     exact_keep = np.isfinite(np.asarray(top_p_filter(logits, 0.9)))
+
+    # keep-set equality: reconstruct the bounded filter's keep decision
+    vals, idx = jax.lax.top_k(logits, 64)
+    logz = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+    probs = np.asarray(jnp.exp(vals - logz))
+    cum = np.cumsum(probs, axis=-1)
+    keep_bounded = (cum - probs) < 0.9
+    for row in range(2):
+        kept_idx = set(np.asarray(idx)[row][keep_bounded[row]].tolist())
+        kept_exact = set(np.nonzero(exact_keep[row])[0].tolist())
+        assert kept_idx == kept_exact, (row, kept_idx ^ kept_exact)
     for s in range(40):
         toks = np.asarray(sample_tokens(jax.random.PRNGKey(s), logits,
                                         temperature=1.0, top_p=0.9))
