@@ -483,6 +483,10 @@ def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
         qb = q_ref[0].astype(jnp.bfloat16)
         dq = dq_ref[b, :].reshape(block_q, 1)
         nbr_q = nbr_ref[b, :].reshape(block_q, 1)
+        # load the whole key doc-id row once (dynamic sublane index with
+        # lane offset 0 — Mosaic rejects dynamic loads at non-zero lane
+        # offsets); per-tile slices below are value-level ops
+        dk_all = dk_ref[b, :]
         i = qoff + qi * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
 
@@ -499,8 +503,8 @@ def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
                     preferred_element_type=jnp.float32) * scale
                 j = ki * block_k + jax.lax.broadcasted_iota(
                     jnp.int32, (block_q, block_k), 1)
-                dk = dk_ref[b, ki * block_k:(ki + 1) * block_k
-                            ].reshape(1, block_k)
+                dk = jax.lax.slice(dk_all, (ki * block_k,),
+                                   ((ki + 1) * block_k,)).reshape(1, block_k)
                 mask = _tile_mask(i, j, dq, dk, nbr_q, sul, vl)
                 s = jnp.where(mask, s, -jnp.inf)
 
