@@ -118,10 +118,13 @@ def prepare(workdir: str, sample_size: int, dataset: str) -> None:
 
 
 def run_one(workdir: str, out_root: str, strategy: str,
-            sample_size: int, dataset: str, defense: str = "none") -> dict:
+            sample_size: int, dataset: str, defense: str = "none",
+            attack_variant: str = "malicious_doc") -> dict:
     tag = f"{dataset}{sample_size}_{strategy}"
     if defense != "none":
         tag += f"_{defense}"
+    if attack_variant != "malicious_doc":
+        tag += f"_{attack_variant}"
     out_dir = os.path.join(out_root, tag)
     os.makedirs(out_dir, exist_ok=True)
     cfg = {
@@ -131,6 +134,7 @@ def run_one(workdir: str, out_root: str, strategy: str,
         "TOP_K": [5, 5, 10, 10],
         "ADD_ATTACK_IN_RANK": [1, 3, 1, 3],
         "MALICIOUS_DOC_SELECTION_STRATEGY": strategy,
+        "ATTACK_VARIANT": attack_variant,
         "DEFENSE_BACKEND": defense,
         "RETRIEVER_BACKEND": "dense",
         "DENSE_INDEX_DTYPE": "bfloat16",
@@ -182,6 +186,8 @@ def main() -> None:
     ap.add_argument("--dataset", default="nq", choices=sorted(DATASETS))
     ap.add_argument("--defense", default="none",
                     choices=["none", "ragdefender", "discern_and_answer"])
+    ap.add_argument("--attack-variant", default="malicious_doc",
+                    choices=["malicious_doc", "doc_corruption"])
     args = ap.parse_args()
 
     workdir = os.path.join(args.workdir, args.dataset)
@@ -189,9 +195,12 @@ def main() -> None:
     summary = []
     for s in args.strategies:
         summary.append(run_one(workdir, args.out, s, args.sample_size,
-                               args.dataset, defense=args.defense))
+                               args.dataset, defense=args.defense,
+                               attack_variant=args.attack_variant))
     suffix = args.dataset if args.defense == "none" \
         else f"{args.dataset}_{args.defense}"
+    if args.attack_variant != "malicious_doc":
+        suffix += f"_{args.attack_variant}"
     sp = os.path.join(args.out, f"summary_{suffix}.json")
     with open(sp, "w") as f:
         json.dump(summary, f, indent=1)
