@@ -158,6 +158,39 @@ def bench_sdag_prefill(iters: int = 20):
     return sdag_s * 1e3, causal_s * 1e3, xla_s * 1e3
 
 
+def bench_e5_encode(iters: int = 4):
+    """Passage encoding throughput, e5-large-v2 geometry (random weights;
+    the SentenceTransformer-replacement path, reference dense.py:44-65).
+    Batch 64 x 256 tokens, bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdag_tpu.models.e5 import (EncoderConfig, encoder_forward,
+                                    init_encoder_params)
+
+    cfg = EncoderConfig.e5_large_v2()
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    B, L = 64, 256
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, L), 0,
+                             cfg.vocab_size, jnp.int32)
+    mask = jnp.ones((B, L), jnp.int32)
+
+    @jax.jit
+    def loop(params, ids, mask):
+        def body(i, acc):
+            emb = encoder_forward(params, cfg, (ids + i) % cfg.vocab_size,
+                                  mask)
+            return acc + emb[0, 0]
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    dt = _device_time(loop, params, ids, mask) / iters
+    docs_s = B / dt
+    # MXU fraction: ~2*params*tokens FLOPs per doc vs 197 TF/s bf16 v5e
+    n_params = sum(int(x.size) for x in jax.tree.leaves(params))
+    flops = 2 * n_params * L * B / dt
+    return docs_s, flops / 197e12
+
+
 def bench_cp_pallas_onchip():
     """On-chip evidence for the context-parallel Pallas branch (VERDICT r1
     item 9): run the flash kernel on a q-row slice with a non-zero
@@ -294,6 +327,11 @@ def main() -> None:
             _emit(f"decode_tok_s_b{b}_1b_bf16_prompt1024", r["tok_s"],
                   "tok/s", r["roofline_frac"])
 
+    # ---- encoder throughput
+    r = safe("e5_encode", bench_e5_encode)
+    if r:
+        _emit("e5_large_encode_docs_per_s_b64_l256", r[0], "docs/s", r[1])
+
     # ---- context-parallel Pallas kernel on-chip (q_offset path)
     r = safe("cp_pallas", bench_cp_pallas_onchip)
     if r is not None:
@@ -320,6 +358,38 @@ def main() -> None:
     if f32:
         _emit("dense_retrieval_qps_f32_n100k_d1024_k10", f32[0], "qps/chip",
               f32[0] / cpu_qps)
+    def bench_int8():
+        import jax
+        import jax.numpy as jnp
+
+        from sdag_tpu.ops.topk import (fused_topk_matmul_int8,
+                                       quantize_rows_int8)
+        qv, sc = quantize_rows_int8(c)
+        qj, qvi, scj = jnp.asarray(q), jnp.asarray(qv), jnp.asarray(sc)
+
+        @jax.jit
+        def loop(qj, qv, sc):
+            def body(i, acc):
+                v, _ = fused_topk_matmul_int8(qj + acc * 1e-9 + i * 1e-6,
+                                              qv, sc, K)
+                return acc + v[0, 0]
+            return jax.lax.fori_loop(0, 50, body, 0.0)
+
+        dt = _device_time(loop, qj, qvi, scj) / 50
+        _, i8 = fused_topk_matmul_int8(qj, qvi, scj, 10)
+        i8 = np.asarray(i8)
+        exact = np.argsort(-(q @ c.T), axis=1, kind="stable")[:, :10]
+        rec = float(np.mean([len(set(i8[r]) & set(exact[r])) / 10
+                             for r in range(q.shape[0])]))
+        return q.shape[0] / dt, rec
+
+    i8 = safe("dense_int8", bench_int8)
+    if i8:
+        _emit("dense_retrieval_qps_int8_approx", i8[0], "qps/chip",
+              i8[0] / cpu_qps)
+        _emit("dense_recall_at10_int8_approx", i8[1], "recall",
+              i8[1] / 0.99)
+
     bf16 = safe("dense_bf16", lambda: bench_dense_qps(q, c, K, "bf16"))
     if bf16:
         _emit("dense_recall_at10_vs_exact_f32", bf16[1], "recall",
