@@ -38,7 +38,8 @@ def bench_config():
 
 
 def run(batch: int, prompt: int, steps: int, temperature: float,
-        top_p: float, iters: int = 3, max_new: int = 128) -> dict:
+        top_p: float, iters: int = 3, max_new: int = 128,
+        kv_dtype: str = "native") -> dict:
     import jax
     import jax.numpy as jnp
     from sdag_tpu.models.llama import (count_params, decode_step,
@@ -56,7 +57,8 @@ def run(batch: int, prompt: int, steps: int, temperature: float,
     @jax.jit
     def make_cache(params, ids):
         _, cache = prefill(params, cfg, ids, cache_size=cache_size,
-                           attn_impl="auto", block_q=512, block_k=512)
+                           attn_impl="auto", block_q=512, block_k=512,
+                           kv_dtype=kv_dtype)
         return cache
 
     cache = jax.block_until_ready(make_cache(params, ids))
@@ -92,8 +94,9 @@ def run(batch: int, prompt: int, steps: int, temperature: float,
 
     # roofline: every step streams the weights once + the live KV once
     w_bytes = 2 * n_params
+    kv_itemsize = 1 if kv_dtype == "int8" else 2
     kv_bytes = (2 * cfg.n_layers * batch * cfg.n_kv_heads
-                * (prompt + steps // 2) * cfg.head_dim * 2)
+                * (prompt + steps // 2) * cfg.head_dim * kv_itemsize)
     hbm = 820e9  # v5e
     roof_tok_s = batch / ((w_bytes + kv_bytes) / hbm)
     return {"batch": batch, "prompt": prompt, "steps": steps,
@@ -110,9 +113,10 @@ def main():
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--temperature", type=float, default=0.1)
     ap.add_argument("--top_p", type=float, default=1.0)
+    ap.add_argument("--kv", default="native", choices=["native", "int8"])
     args = ap.parse_args()
     out = run(args.batch, args.prompt, args.steps, args.temperature,
-              args.top_p)
+              args.top_p, kv_dtype=args.kv)
     print(json.dumps(out))
 
 

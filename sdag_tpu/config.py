@@ -109,6 +109,10 @@ class Config:
     # same config skip completed query batches.
     RESUME_LOGS: bool = False
 
+    # KV cache storage: "native" (model dtype) or "int8" (halved decode KV
+    # traffic, per-slot scales, ~8-bit quantization error; opt-in)
+    KV_CACHE_DTYPE: str = "native"
+
     # --- TPU mesh ----------------------------------------------------------
     # Mesh axis sizes; 0 = use all local devices on the data axis.
     MESH_DATA: int = 0

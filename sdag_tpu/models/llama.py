@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from sdag_tpu.ops.attention import (masked_decode_attention,
+                                    masked_decode_attention_int8,
+                                    quantize_kv_heads_int8,
                                     sdag_prefill_attention)
 
 
@@ -184,8 +186,18 @@ def layer_forward(layer: Dict[str, Any], cfg: DecoderConfig, x: jax.Array,
     return x, ((k, v) if with_kv else None)
 
 
-def make_kv_cache(cfg: DecoderConfig, batch: int, size: int) -> Dict[str, Any]:
+def make_kv_cache(cfg: DecoderConfig, batch: int, size: int,
+                  kv_dtype: str = "native") -> Dict[str, Any]:
+    """kv_dtype 'native' stores cfg.dtype; 'int8' stores int8 values with
+    per-(layer, batch, head, slot) f32 scales (halved decode KV traffic,
+    ~8-bit quantization error; opt-in)."""
     shape = (cfg.n_layers, batch, cfg.n_kv_heads, size, cfg.head_dim)
+    if kv_dtype == "int8":
+        sshape = shape[:-1]
+        return {"k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.zeros(sshape, jnp.float32),
+                "v_scale": jnp.zeros(sshape, jnp.float32)}
     return {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
 
 
@@ -200,6 +212,7 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig,
             block_q: int = 128, block_k: int = 128,
             with_cache: bool = True,
             positions: Optional[jax.Array] = None,
+            kv_dtype: str = "native",
             ) -> Tuple[jax.Array, Optional[Dict[str, Any]]]:
     """Full-prompt forward.  input_ids: [B, L] right-padded.
 
@@ -243,15 +256,28 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig,
     if not with_cache:
         return logits, None
 
-    cache = make_kv_cache(cfg, B, cache_size)
+    cache = make_kv_cache(cfg, B, cache_size, kv_dtype=kv_dtype)
     k_stack = jnp.stack(ks)  # [n_layers, B, Hkv, L, Dh]
     v_stack = jnp.stack(vs)
-    cache = {
-        "k": jax.lax.dynamic_update_slice(cache["k"], k_stack.astype(cfg.dtype),
-                                          (0, 0, 0, 0, 0)),
-        "v": jax.lax.dynamic_update_slice(cache["v"], v_stack.astype(cfg.dtype),
-                                          (0, 0, 0, 0, 0)),
-    }
+    if kv_dtype == "int8":
+        k_q, k_s = quantize_kv_heads_int8(k_stack)
+        v_q, v_s = quantize_kv_heads_int8(v_stack)
+        z5, z4 = (0, 0, 0, 0, 0), (0, 0, 0, 0)
+        cache = {
+            "k": jax.lax.dynamic_update_slice(cache["k"], k_q, z5),
+            "v": jax.lax.dynamic_update_slice(cache["v"], v_q, z5),
+            "k_scale": jax.lax.dynamic_update_slice(cache["k_scale"],
+                                                    k_s, z4),
+            "v_scale": jax.lax.dynamic_update_slice(cache["v_scale"],
+                                                    v_s, z4),
+        }
+    else:
+        cache = {
+            "k": jax.lax.dynamic_update_slice(
+                cache["k"], k_stack.astype(cfg.dtype), (0, 0, 0, 0, 0)),
+            "v": jax.lax.dynamic_update_slice(
+                cache["v"], v_stack.astype(cfg.dtype), (0, 0, 0, 0, 0)),
+        }
     return logits, cache
 
 
@@ -271,28 +297,48 @@ def decode_step(params: Dict[str, Any], cfg: DecoderConfig,
     B = tokens.shape[0]
     x = params["embed"][tokens].astype(cfg.dtype)[:, None, :]  # [B, 1, d]
     pos = positions[:, None]
+    int8_kv = "k_scale" in cache
 
-    new_k, new_v = cache["k"], cache["v"]
+    new_cache = dict(cache)
     for li, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["ln1"], cfg.norm_eps)
         q, k, v = _project_qkv(layer["attn"], h, cfg)   # [B, H, 1, hd]
         q = rope(q, pos, cfg.rope_theta, cfg.rope_scaling)
         k = rope(k, pos, cfg.rope_theta, cfg.rope_scaling)
 
-        new_k = jax.lax.dynamic_update_slice(
-            new_k, k[None].astype(cfg.dtype), (li, 0, 0, write_index, 0))
-        new_v = jax.lax.dynamic_update_slice(
-            new_v, v[None].astype(cfg.dtype), (li, 0, 0, write_index, 0))
-
-        # GQA groups contract inside the op; kv never repeated in memory
-        attn_out = masked_decode_attention(q[:, :, 0, :], new_k[li],
-                                           new_v[li], cache_mask)
+        if int8_kv:
+            k_q, k_s = quantize_kv_heads_int8(k)
+            v_q, v_s = quantize_kv_heads_int8(v)
+            new_cache["k"] = jax.lax.dynamic_update_slice(
+                new_cache["k"], k_q[None], (li, 0, 0, write_index, 0))
+            new_cache["v"] = jax.lax.dynamic_update_slice(
+                new_cache["v"], v_q[None], (li, 0, 0, write_index, 0))
+            new_cache["k_scale"] = jax.lax.dynamic_update_slice(
+                new_cache["k_scale"], k_s[None], (li, 0, 0, write_index))
+            new_cache["v_scale"] = jax.lax.dynamic_update_slice(
+                new_cache["v_scale"], v_s[None], (li, 0, 0, write_index))
+            attn_out = masked_decode_attention_int8(
+                q[:, :, 0, :], new_cache["k"][li], new_cache["v"][li],
+                new_cache["k_scale"][li], new_cache["v_scale"][li],
+                cache_mask)
+        else:
+            new_cache["k"] = jax.lax.dynamic_update_slice(
+                new_cache["k"], k[None].astype(cfg.dtype),
+                (li, 0, 0, write_index, 0))
+            new_cache["v"] = jax.lax.dynamic_update_slice(
+                new_cache["v"], v[None].astype(cfg.dtype),
+                (li, 0, 0, write_index, 0))
+            # GQA groups contract inside the op; kv never repeated in memory
+            attn_out = masked_decode_attention(q[:, :, 0, :],
+                                               new_cache["k"][li],
+                                               new_cache["v"][li],
+                                               cache_mask)
         x = x + (attn_out.reshape(B, 1, -1) @ layer["attn"]["wo"])
         x = x + _mlp(layer["mlp"], rms_norm(x, layer["ln2"], cfg.norm_eps))
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = _unembed(params, cfg, x)[:, 0, :].astype(jnp.float32)
-    return logits, {"k": new_k, "v": new_v}
+    return logits, new_cache
 
 
 def count_params(params) -> int:

@@ -787,6 +787,46 @@ def masked_decode_attention(q, k_cache, v_cache, cache_mask):
     return out.reshape(B, H, Dh)
 
 
+def masked_decode_attention_int8(q, k_i8, v_i8, k_scale, v_scale,
+                                 cache_mask):
+    """masked_decode_attention over an int8-quantized KV cache.
+
+    Caches are int8 [B, Hkv, S, Dh] with per-(slot, head) f32 scales
+    [B, Hkv, S] (absmax over Dh).  Both scales fold linearly: the k scale
+    multiplies the dot products, the v scale folds into the probabilities
+    before the value contraction — numerics differ from bf16 only by the
+    8-bit quantization error.  Halves decode KV HBM traffic (the dominant
+    stream at serving batch sizes: B=32 reads 3GB/step of KV vs 2GB of
+    weights on the 1B bench model).
+    """
+    B, H, Dh = q.shape
+    hkv = k_i8.shape[1]
+    rep = H // hkv
+    qg = q.reshape(B, hkv, rep, Dh)
+    scores = jnp.einsum("bgrd,bgjd->bgrj", qg,
+                        k_i8.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+    scores = scores * k_scale[:, :, None, :] * Dh ** -0.5
+    scores = jnp.where(cache_mask[:, None, None, :], scores,
+                       DEFAULT_MASK_VALUE)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = probs * v_scale[:, :, None, :]
+    out = jnp.einsum("bgrj,bgjd->bgrd", probs.astype(q.dtype),
+                     v_i8.astype(q.dtype),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, H, Dh).astype(q.dtype)
+
+
+def quantize_kv_heads_int8(x):
+    """Per-(.., slot) symmetric int8 quantization over the head dim.
+    x: [..., S, Dh] -> (int8 values, f32 scales [..., S])."""
+    scale = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1),
+                        1e-12) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
 def causal_decode_attention(q, k_cache, v_cache, cache_len):
     """masked_decode_attention with a simple length-based mask."""
     Lmax = k_cache.shape[2]

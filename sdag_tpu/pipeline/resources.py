@@ -73,7 +73,8 @@ def build_generator(cfg: Config) -> Generator:
         params = init_decoder_params(jax.random.PRNGKey(cfg.SEED + 1),
                                      dec_cfg)
     return Generator(params, dec_cfg, tok, temperature=cfg.TEMPERATURE,
-                     top_p=cfg.TOP_P, seed=cfg.SEED)
+                     top_p=cfg.TOP_P, seed=cfg.SEED,
+                     kv_cache_dtype=cfg.KV_CACHE_DTYPE)
 
 
 def init_resources(cfg: Config) -> Resources:

@@ -37,13 +37,17 @@ class Generator:
                  temperature: float = 0.0, top_p: float = 1.0,
                  attn_impl: str = "auto", seed: int = 0,
                  pad_multiple: int = 128,
-                 block_align: Optional[int] = None) -> None:
+                 block_align: Optional[int] = None,
+                 kv_cache_dtype: str = "native") -> None:
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.temperature = float(temperature)
         self.top_p = float(top_p)
         self.attn_impl = attn_impl
+        # 'int8' halves decode KV HBM traffic (per-slot scales; opt-in,
+        # ~8-bit quantization error on cached keys/values)
+        self.kv_cache_dtype = kv_cache_dtype
         on_tpu = jax.default_backend() == "tpu"
         # TPU: 512-wide kernel tiles win on grid/DMA overhead.  Block-aligned
         # doc packing (block_align>0) is opt-in: for passage-sized docs the
@@ -119,6 +123,7 @@ class Generator:
         pad = int(self.tokenizer.pad_token_id)
         temperature, top_p = self.temperature, self.top_p
         attn_impl = self.attn_impl
+        kv_dtype = self.kv_cache_dtype
         cache_size = lp + max_new
         # lp is always a multiple of pad_multiple (512 on TPU, where wide
         # tiles win on grid/DMA overhead; 128 elsewhere), so the kernel
@@ -134,7 +139,7 @@ class Generator:
                 params, cfg, input_ids, doc_id=doc_id, nbr_bits=nbr_bits,
                 sys_user_len=sys_user_len, valid_len=valid_len,
                 cache_size=cache_size, attn_impl=attn_impl,
-                block_q=block, block_k=block)
+                block_q=block, block_k=block, kv_dtype=kv_dtype)
             last = jnp.take_along_axis(
                 logits, (valid_len - 1)[:, None, None], axis=1)[:, 0, :]
             key, sub = jax.random.split(key)
