@@ -327,6 +327,13 @@ def main() -> None:
             _emit(f"decode_tok_s_b{b}_1b_bf16_prompt1024", r["tok_s"],
                   "tok/s", r["roofline_frac"])
 
+    r = safe("decode_b8_int8kv", lambda: bench_decode.run(
+        batch=8, prompt=1024, steps=32, temperature=0.1, top_p=1.0,
+        iters=2, kv_dtype="int8"))
+    if r:
+        _emit("decode_tok_s_b8_1b_int8kv_prompt1024", r["tok_s"],
+              "tok/s", r["roofline_frac"])
+
     # ---- encoder throughput
     r = safe("e5_encode", bench_e5_encode)
     if r:
