@@ -95,8 +95,11 @@ def run(batch: int, prompt: int, steps: int, temperature: float,
     # roofline: every step streams the weights once + the live KV once
     w_bytes = 2 * n_params
     kv_itemsize = 1 if kv_dtype == "int8" else 2
-    kv_bytes = (2 * cfg.n_layers * batch * cfg.n_kv_heads
-                * (prompt + steps // 2) * cfg.head_dim * kv_itemsize)
+    kv_slots = 2 * cfg.n_layers * batch * cfg.n_kv_heads \
+        * (prompt + steps // 2)
+    kv_bytes = kv_slots * cfg.head_dim * kv_itemsize
+    if kv_dtype == "int8":
+        kv_bytes += kv_slots * 4  # per-slot f32 scales are streamed too
     hbm = 820e9  # v5e
     roof_tok_s = batch / ((w_bytes + kv_bytes) / hbm)
     return {"batch": batch, "prompt": prompt, "steps": steps,

@@ -190,6 +190,11 @@ def main() -> None:
                     choices=["malicious_doc", "doc_corruption"])
     args = ap.parse_args()
 
+    if args.attack_variant == "doc_corruption" and len(args.strategies) > 1:
+        # corruption never selects malicious docs; one run covers it
+        print("[run] doc_corruption ignores selection strategies; "
+              "running once with 'random'")
+        args.strategies = ["random"]
     workdir = os.path.join(args.workdir, args.dataset)
     prepare(workdir, args.sample_size, args.dataset)
     summary = []

@@ -131,6 +131,8 @@ class Config:
             raise ValueError(f"Unknown DEFENSE_BACKEND: {self.DEFENSE_BACKEND}")
         if self.ATTACK_VARIANT not in {"malicious_doc", "doc_corruption"}:
             raise ValueError(f"Unknown ATTACK_VARIANT: {self.ATTACK_VARIANT}")
+        if self.KV_CACHE_DTYPE not in {"native", "int8"}:
+            raise ValueError(f"Unknown KV_CACHE_DTYPE: {self.KV_CACHE_DTYPE}")
         # SDAG doc-neighbor sets are int32 bitmasks (sdag/mask.py
         # MAX_DOC_BLOCKS): every prompt doc (top-k survivors + injected
         # malicious docs) needs a bit. Fail here, not mid-experiment.

@@ -819,12 +819,10 @@ def masked_decode_attention_int8(q, k_i8, v_i8, k_scale, v_scale,
 
 def quantize_kv_heads_int8(x):
     """Per-(.., slot) symmetric int8 quantization over the head dim.
-    x: [..., S, Dh] -> (int8 values, f32 scales [..., S])."""
-    scale = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1),
-                        1e-12) / 127.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
-                 -127, 127).astype(jnp.int8)
-    return q, scale.astype(jnp.float32)
+    x: [..., S, Dh] -> (int8 values, f32 scales [..., S]).  Shares the
+    quantization rule with the retrieval index (ops/topk.py)."""
+    from sdag_tpu.ops.topk import quantize_last_axis_int8
+    return quantize_last_axis_int8(x)
 
 
 def causal_decode_attention(q, k_cache, v_cache, cache_len):

@@ -194,14 +194,23 @@ def fused_topk_matmul(queries: jax.Array, corpus: jax.Array, k: int,
     return out_vals[:q, :k], out_idx[:q, :k]
 
 
+def quantize_last_axis_int8(x: jax.Array):
+    """Symmetric int8 quantization over the last axis (traced-safe):
+    returns (int8 values, f32 scales [...]) with x ~= values *
+    scales[..., None].  Single source of the quantization rule for the
+    retrieval index and the KV cache."""
+    xf = x.astype(jnp.float32)
+    scales = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(xf / scales[..., None]), -127, 127
+                 ).astype(jnp.int8)
+    return q, scales
+
+
 def quantize_rows_int8(x):
-    """Symmetric per-row int8 quantization: returns (int8 values, f32 row
-    scales) with x ~= values * scales[:, None]."""
+    """Host (numpy) wrapper of quantize_last_axis_int8 for index builds."""
     import numpy as np
-    x = np.asarray(x, np.float32)
-    scales = np.maximum(np.abs(x).max(axis=1), 1e-12) / 127.0
-    q = np.clip(np.round(x / scales[:, None]), -127, 127).astype(np.int8)
-    return q, scales.astype(np.float32)
+    q, s = quantize_last_axis_int8(jnp.asarray(np.asarray(x, np.float32)))
+    return np.asarray(q), np.asarray(s)
 
 
 def _topk_kernel_int8(valid_ref, q_ref, qs_ref, c_ref, scale_ref,
@@ -279,10 +288,7 @@ def fused_topk_matmul_int8(queries: jax.Array, corpus_i8: jax.Array,
         corpus_i8 = jnp.pad(corpus_i8, ((0, n_pad - n), (0, 0)))
         scales = jnp.pad(scales, ((0, n_pad - n),))
     # quantize queries per-row so the kernel dot stays on the int8 MXU path
-    qf = queries.astype(jnp.float32)
-    q_scales = jnp.maximum(jnp.max(jnp.abs(qf), axis=1), 1e-12) / 127.0
-    q_i8 = jnp.clip(jnp.round(qf / q_scales[:, None]), -127, 127
-                    ).astype(jnp.int8)
+    q_i8, q_scales = quantize_last_axis_int8(queries)
     q_scales2d = q_scales.reshape(qp, 1)
     scales2d = scales.reshape(1, n_pad).astype(jnp.float32)
 

@@ -272,7 +272,6 @@ def test_int8_kv_cache_decode_matches_native(params):
     prompt = [np.asarray(tok.encode("alpha beta gamma delta"), np.int32)]
     a = g_nat.generate_ids(prompt, max_new_tokens=6)
     b = g_i8.generate_ids(prompt, max_new_tokens=6)
-    assert isinstance(b[0], str)
-    # greedy decode on a tiny random model is usually but not always
-    # quantization-stable; require the engine to run, and flag drift
-    assert len(b) == len(a)
+    # deterministic fixture (fixed params, greedy): the int8 cache must
+    # reproduce the native greedy continuation on this prompt
+    assert a == b
