@@ -119,12 +119,15 @@ def prepare(workdir: str, sample_size: int, dataset: str) -> None:
 
 def run_one(workdir: str, out_root: str, strategy: str,
             sample_size: int, dataset: str, defense: str = "none",
-            attack_variant: str = "malicious_doc") -> dict:
+            attack_variant: str = "malicious_doc",
+            kv_dtype: str = "native") -> dict:
     tag = f"{dataset}{sample_size}_{strategy}"
     if defense != "none":
         tag += f"_{defense}"
     if attack_variant != "malicious_doc":
         tag += f"_{attack_variant}"
+    if kv_dtype != "native":
+        tag += f"_kv{kv_dtype}"
     out_dir = os.path.join(out_root, tag)
     os.makedirs(out_dir, exist_ok=True)
     cfg = {
@@ -135,6 +138,7 @@ def run_one(workdir: str, out_root: str, strategy: str,
         "ADD_ATTACK_IN_RANK": [1, 3, 1, 3],
         "MALICIOUS_DOC_SELECTION_STRATEGY": strategy,
         "ATTACK_VARIANT": attack_variant,
+        "KV_CACHE_DTYPE": kv_dtype,
         "DEFENSE_BACKEND": defense,
         "RETRIEVER_BACKEND": "dense",
         "DENSE_INDEX_DTYPE": "bfloat16",
@@ -188,6 +192,8 @@ def main() -> None:
                     choices=["none", "ragdefender", "discern_and_answer"])
     ap.add_argument("--attack-variant", default="malicious_doc",
                     choices=["malicious_doc", "doc_corruption"])
+    ap.add_argument("--kv-dtype", default="native",
+                    choices=["native", "int8"])
     args = ap.parse_args()
 
     if args.attack_variant == "doc_corruption" and len(args.strategies) > 1:
@@ -201,11 +207,14 @@ def main() -> None:
     for s in args.strategies:
         summary.append(run_one(workdir, args.out, s, args.sample_size,
                                args.dataset, defense=args.defense,
-                               attack_variant=args.attack_variant))
+                               attack_variant=args.attack_variant,
+                               kv_dtype=args.kv_dtype))
     suffix = args.dataset if args.defense == "none" \
         else f"{args.dataset}_{args.defense}"
     if args.attack_variant != "malicious_doc":
         suffix += f"_{args.attack_variant}"
+    if args.kv_dtype != "native":
+        suffix += f"_kv{args.kv_dtype}"
     sp = os.path.join(args.out, f"summary_{suffix}.json")
     with open(sp, "w") as f:
         json.dump(summary, f, indent=1)
