@@ -11,9 +11,12 @@ Every README performance claim is backed by a line here (VERDICT r1 item 2):
                                  fraction, weights + live KV per step)
   bm25_qps                       fused impact-scored BM25 top-k vs a host
                                  inverted-index scan
-  dense_retrieval_qps_f32        fused matmul+top-k, f32 corpus
-  dense_retrieval_qps_per_chip_n100k_d1024_k10   HEADLINE (bf16 corpus) vs
-                                 faiss-flat-equivalent CPU scan
+  dense_retrieval_qps_f32        production approx path, f32 corpus
+  dense_retrieval_qps_exact_kernel_bf16   fused Pallas kernel (exact
+                                 tie-break mode, DENSE_SEARCH_MODE=exact)
+  dense_retrieval_qps_per_chip_n100k_d1024_k10   HEADLINE: production
+                                 default (bf16 corpus + approx_max_k
+                                 two-stage) vs faiss-flat-equivalent CPU scan
 
 Timing through the axon relay: ~30 ms dispatch RTT and block_until_ready
 under-reports, so every device measurement runs an on-device
@@ -61,23 +64,26 @@ def _device_time(fn, *args, iters_hint: int = 1, repeats: int = 2) -> float:
 
 # ------------------------------------------------------------ dense top-k
 def bench_dense_qps(q, c, k: int, dtype_name: str, iters: int = 50,
-                    exact=None) -> float:
+                    exact=None, mode: str = "approx") -> float:
     """Arrays passed as jit args (closures ship the corpus as an HLO
-    constant through the remote-compile tunnel)."""
+    constant through the remote-compile tunnel).  mode="approx" is the
+    production default (matmul + approx_max_k two-stage); mode="exact"
+    is the fused Pallas kernel with exact tie-break."""
     import jax
     import jax.numpy as jnp
 
-    from sdag_tpu.ops.topk import fused_topk_matmul
+    from sdag_tpu.ops.topk import approx_topk_matmul, fused_topk_matmul
 
+    search = approx_topk_matmul if mode == "approx" else fused_topk_matmul
     qj = jnp.asarray(q)
     cj = jnp.asarray(c, dtype=jnp.bfloat16) if dtype_name == "bf16" \
         else jnp.asarray(c)
 
     recall = None
-    if dtype_name == "bf16" and exact is not None:
-        # recall@10 of the production bf16 path vs an exact f32 host scan
-        # (the BASELINE.md >=0.99 parity target, measured over all queries)
-        _, i16 = fused_topk_matmul(qj, cj, 10)
+    if exact is not None:
+        # recall@10 of this path vs an exact f32 host scan (the BASELINE.md
+        # >=0.99 parity target, measured over all queries)
+        _, i16 = search(qj, cj, 10)
         i16 = np.asarray(i16)
         recall = float(np.mean([len(set(i16[r]) & set(exact[r])) / 10
                                 for r in range(q.shape[0])]))
@@ -85,7 +91,7 @@ def bench_dense_qps(q, c, k: int, dtype_name: str, iters: int = 50,
     @jax.jit
     def loop(qj, cj):
         def body(i, acc):
-            v, _ = fused_topk_matmul(qj + acc * 1e-9 + i * 1e-6, cj, k)
+            v, _ = search(qj + acc * 1e-9 + i * 1e-6, cj, k)
             return acc + v[0, 0]
         return jax.lax.fori_loop(0, iters, body, 0.0)
 
@@ -367,11 +373,21 @@ def main() -> None:
     if f32:
         _emit("dense_retrieval_qps_f32_n100k_d1024_k10", f32[0], "qps/chip",
               f32[0] / cpu_qps)
+
+    kern = safe("dense_bf16_exact_kernel",
+                lambda: bench_dense_qps(q, c, K, "bf16", mode="exact",
+                                        exact=exact))
+    if kern:
+        _emit("dense_retrieval_qps_exact_kernel_bf16", kern[0], "qps/chip",
+              kern[0] / cpu_qps)
+        _emit("dense_recall_at10_exact_kernel_bf16", kern[1], "recall",
+              kern[1] / 0.99)
+
     def bench_int8():
         import jax
         import jax.numpy as jnp
 
-        from sdag_tpu.ops.topk import (fused_topk_matmul_int8,
+        from sdag_tpu.ops.topk import (approx_topk_matmul_int8,
                                        quantize_rows_int8)
         qv, sc = quantize_rows_int8(c)
         qj, qvi, scj = jnp.asarray(q), jnp.asarray(qv), jnp.asarray(sc)
@@ -379,13 +395,13 @@ def main() -> None:
         @jax.jit
         def loop(qj, qv, sc):
             def body(i, acc):
-                v, _ = fused_topk_matmul_int8(qj + acc * 1e-9 + i * 1e-6,
-                                              qv, sc, K)
+                v, _ = approx_topk_matmul_int8(qj + acc * 1e-9 + i * 1e-6,
+                                               qv, sc, K)
                 return acc + v[0, 0]
             return jax.lax.fori_loop(0, 50, body, 0.0)
 
         dt = _device_time(loop, qj, qvi, scj) / 50
-        _, i8 = fused_topk_matmul_int8(qj, qvi, scj, 10)
+        _, i8 = approx_topk_matmul_int8(qj, qvi, scj, 10)
         i8 = np.asarray(i8)
         rec = float(np.mean([len(set(i8[r]) & set(exact[r])) / 10
                              for r in range(q.shape[0])]))
@@ -398,6 +414,7 @@ def main() -> None:
         _emit("dense_recall_at10_int8_approx", i8[1], "recall",
               i8[1] / 0.99)
 
+    # production default: bf16 corpus + approx_max_k two-stage (HEADLINE)
     bf16 = safe("dense_bf16",
                 lambda: bench_dense_qps(q, c, K, "bf16", exact=exact))
     if bf16:

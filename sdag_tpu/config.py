@@ -51,6 +51,11 @@ class Config:
     # bf16 halves bandwidth at exact recall parity (bench.py gates this);
     # int8 (per-row scales) quarters it at ~0.98 recall@10 (approximate).
     DENSE_INDEX_DTYPE: str = "float32"
+    # Search algorithm: "approx" = matmul + lax.approx_max_k two-stage
+    # (TPU PartialReduce, ~2.2x the fused kernel's QPS at >=0.99 recall@10;
+    # exact fallback off-TPU); "exact" = fused Pallas kernel with exact
+    # (score desc, index asc) tie-break, bit-identical to a stable scan.
+    DENSE_SEARCH_MODE: str = "approx"
 
     # --- models ------------------------------------------------------------
     RANKER_MODEL_NAME: str = "intfloat/e5-large-v2"
@@ -133,6 +138,9 @@ class Config:
             raise ValueError(f"Unknown ATTACK_VARIANT: {self.ATTACK_VARIANT}")
         if self.KV_CACHE_DTYPE not in {"native", "int8"}:
             raise ValueError(f"Unknown KV_CACHE_DTYPE: {self.KV_CACHE_DTYPE}")
+        if self.DENSE_SEARCH_MODE not in {"approx", "exact"}:
+            raise ValueError(
+                f"Unknown DENSE_SEARCH_MODE: {self.DENSE_SEARCH_MODE}")
         # SDAG doc-neighbor sets are int32 bitmasks (sdag/mask.py
         # MAX_DOC_BLOCKS): every prompt doc (top-k survivors + injected
         # malicious docs) needs a bit. Fail here, not mid-experiment.

@@ -18,20 +18,26 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from sdag_tpu.ops.topk import (fused_topk_matmul_int8, merge_topk,
+from sdag_tpu.ops.topk import (approx_topk_matmul_int8,
+                               fused_topk_matmul_int8, merge_topk,
                                topk_search)
 
 
 def sharded_topk_search(queries: jax.Array, corpus: jax.Array, k: int,
                         valid_n: int, mesh: Mesh, axis: str = "index",
                         use_pallas: bool | None = None,
-                        block_n: int = 1024, scales=None
+                        block_n: int = 1024, scales=None,
+                        mode: str = "exact"
                         ) -> Tuple[jax.Array, jax.Array]:
-    """Exact top-k over a row-sharded corpus.
+    """Top-k over a row-sharded corpus.
 
     queries: [Q, D] replicated; corpus: [N_pad, D] sharded on rows along
     `axis` (N_pad divisible by the axis size); valid_n: number of real rows.
     With `scales` [N_pad], the corpus is int8-quantized (per-row scales).
+    mode="exact" runs the fused kernel per shard (bit-identical to a
+    single-device stable scan); mode="approx" runs the approx_max_k
+    two-stage per shard (each shard's candidates cover its local top-k at
+    >=0.99 recall, so the merged result keeps the same recall).
     Returns replicated (scores [Q, k], global indices [Q, k]).
     """
     n_pad = corpus.shape[0]
@@ -52,7 +58,8 @@ def sharded_topk_search(queries: jax.Array, corpus: jax.Array, k: int,
             row0 = shard_id * shard_rows
             local_valid = jnp.clip(valid_n - row0, 0, shard_rows)
             vals, idx = topk_search(q, c_shard, k, valid_n=local_valid,
-                                    use_pallas=use_pallas, block_n=block_n)
+                                    use_pallas=use_pallas, block_n=block_n,
+                                    mode=mode)
             return finish(vals, idx, row0)
 
         fn = shard_map(
@@ -67,11 +74,15 @@ def sharded_topk_search(queries: jax.Array, corpus: jax.Array, k: int,
         shard_id = jax.lax.axis_index(axis)
         row0 = shard_id * shard_rows
         local_valid = jnp.clip(valid_n - row0, 0, shard_rows)
-        interp = jax.default_backend() != "tpu"
-        vals, idx = fused_topk_matmul_int8(q, c_shard, s_shard, k,
-                                           block_n=block_n,
-                                           valid_n=local_valid,
-                                           interpret=interp)
+        if mode == "approx":
+            vals, idx = approx_topk_matmul_int8(q, c_shard, s_shard, k,
+                                                valid_n=local_valid)
+        else:
+            interp = jax.default_backend() != "tpu"
+            vals, idx = fused_topk_matmul_int8(q, c_shard, s_shard, k,
+                                               block_n=block_n,
+                                               valid_n=local_valid,
+                                               interpret=interp)
         return finish(vals, idx, row0)
 
     fn = shard_map(

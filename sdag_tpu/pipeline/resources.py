@@ -98,14 +98,16 @@ def init_resources(cfg: Config) -> Resources:
                 if os.path.exists(cfg.META_JSONL_PATH) else None
             dense_index = DenseIndex.load(cfg.DENSE_INDEX_PATH, mesh=mesh,
                                           meta_path=meta_path,
-                                          dtype=idx_dtype)
+                                          dtype=idx_dtype,
+                                          search_mode=cfg.DENSE_SEARCH_MODE)
         elif cfg.CORPUS_JSONL_PATH:
             print("[resources] building dense index from corpus "
                   f"{cfg.CORPUS_JSONL_PATH}")
             texts, ids = load_corpus_jsonl(cfg.CORPUS_JSONL_PATH)
             dense_index = DenseIndex.from_texts(
                 texts, ids, encoder, mesh=mesh,
-                batch_size=cfg.BATCH_SIZE_EMBED_Q, dtype=idx_dtype)
+                batch_size=cfg.BATCH_SIZE_EMBED_Q, dtype=idx_dtype,
+                search_mode=cfg.DENSE_SEARCH_MODE)
             if cfg.DENSE_INDEX_PATH:
                 dense_index.save(cfg.DENSE_INDEX_PATH)
         else:

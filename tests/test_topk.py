@@ -8,7 +8,8 @@ import jax
 import jax.numpy as jnp
 
 from sdag_tpu.core.mesh import make_index_mesh
-from sdag_tpu.ops.topk import exact_topk_xla, fused_topk_matmul, merge_topk
+from sdag_tpu.ops.topk import (approx_topk_matmul, approx_topk_matmul_int8,
+                               exact_topk_xla, fused_topk_matmul, merge_topk)
 from sdag_tpu.parallel.collectives import sharded_topk_search
 from sdag_tpu.retrieval.dense import DenseIndex, DenseRetriever
 
@@ -134,6 +135,77 @@ def test_dense_retriever_contract():
     assert len(batch.q_embs) == 2
     # scores descending
     assert batch.scores_full[0] == sorted(batch.scores_full[0], reverse=True)
+
+
+def test_approx_topk_matches_exact_off_tpu():
+    """approx_max_k falls back to exact top-k off-TPU, and the candidate
+    merge applies the exact (score desc, index asc) tie-break — so the
+    approx path is deterministic-exact in CPU tests, incl. valid_n
+    masking and -1 mapping of invalid rows."""
+    qe, ce = _rand(5, 700, 64, seed=13)
+    v_ref, i_ref = exact_topk_xla(jnp.array(qe), jnp.array(ce), 10,
+                                  valid_n=600)
+    v, i = approx_topk_matmul(jnp.array(qe), jnp.array(ce), 10, valid_n=600)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    assert np.asarray(i).max() < 600
+
+
+def test_approx_topk_k_exceeds_valid_rows():
+    qe, ce = _rand(2, 64, 32, seed=14)
+    v, i = approx_topk_matmul(jnp.array(qe), jnp.array(ce), 8, valid_n=4)
+    i = np.asarray(i)
+    v = np.asarray(v)
+    assert set(i[0, :4]) <= set(range(4))
+    np.testing.assert_array_equal(i[:, 4:], -1)
+    assert np.all(np.isneginf(v[:, 4:]))
+
+
+def test_approx_topk_int8_matches_quantized_scan():
+    from sdag_tpu.ops.topk import quantize_rows_int8
+    qe, ce = _rand(6, 800, 64, seed=15)
+    ci8, sc = quantize_rows_int8(ce)
+    v, i = approx_topk_matmul_int8(jnp.asarray(qe), jnp.asarray(ci8),
+                                   jnp.asarray(sc), 10)
+    # host replication of the quantized scoring rule
+    qs = np.maximum(np.abs(qe).max(axis=1), 1e-12) / 127.0
+    qi = np.clip(np.round(qe / qs[:, None]), -127, 127).astype(np.int32)
+    s_host = (qi @ ci8.astype(np.int32).T).astype(np.float32) \
+        * qs[:, None].astype(np.float32) * sc[None, :].astype(np.float32)
+    ref = np.argsort(-s_host, axis=1, kind="stable")[:, :10]
+    recall = np.mean([len(set(ref[r]) & set(np.asarray(i)[r])) / 10
+                      for r in range(6)])
+    assert recall == 1.0
+    np.testing.assert_allclose(
+        np.asarray(v), np.take_along_axis(s_host, ref, axis=1), rtol=1e-5)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_sharded_search_approx_matches_single_device():
+    mesh = make_index_mesh()
+    qe, ce = _rand(6, 1000, 64, seed=16)
+    k = 10
+    v_ref, i_ref = exact_topk_xla(jnp.array(qe), jnp.array(ce), k)
+    block_n = 32
+    n_pad = ((1000 + block_n * 8 - 1) // (block_n * 8)) * (block_n * 8)
+    ce_pad = np.zeros((n_pad, 64), np.float32)
+    ce_pad[:1000] = ce
+    from sdag_tpu.core.mesh import shard_rows
+    c_sharded = shard_rows(jnp.array(ce_pad), mesh, "index")
+    v, i = sharded_topk_search(jnp.array(qe), c_sharded, k, valid_n=1000,
+                               mesh=mesh, block_n=block_n, mode="approx")
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_dense_index_search_mode_exact_matches_approx_off_tpu(tmp_path):
+    qe, ce = _rand(4, 300, 32, seed=17)
+    meta = [{"id": f"doc{i}", "text": f"t{i}"} for i in range(300)]
+    idx_a, _ = DenseIndex(ce, meta, block_n=32,
+                          search_mode="approx").search(qe, top_k=5)
+    idx_e, _ = DenseIndex(ce, meta, block_n=32,
+                          search_mode="exact").search(qe, top_k=5)
+    np.testing.assert_array_equal(idx_a, idx_e)
 
 
 def test_int8_index_recall_and_roundtrip(tmp_path):
