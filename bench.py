@@ -325,11 +325,13 @@ def main() -> None:
 
     # ---- decode
     import bench_decode
+    decode_tok_s = {}
     for b in (1, 8):
         r = safe(f"decode_b{b}", lambda b=b: bench_decode.run(
             batch=b, prompt=1024, steps=32, temperature=0.1, top_p=1.0,
             iters=2))
         if r:
+            decode_tok_s[b] = r["tok_s"]
             _emit(f"decode_tok_s_b{b}_1b_bf16_prompt1024", r["tok_s"],
                   "tok/s", r["roofline_frac"])
 
@@ -339,6 +341,17 @@ def main() -> None:
     if r:
         _emit("decode_tok_s_b8_1b_int8kv_prompt1024", r["tok_s"],
               "tok/s", r["roofline_frac"])
+
+    # speculative (prompt-lookup) verification rounds: G-token window
+    # forwards; vs_baseline = tok/s ceiling at full acceptance relative to
+    # plain decode at the same batch (actual speedup = (1+E[accepted]) /
+    # window overhead at the workload's draft acceptance)
+    r = safe("spec_g4_b1", lambda: bench_decode.run_speculative(
+        batch=1, prompt=1024, g=4, steps=32, iters=2))
+    if r and decode_tok_s.get(1):
+        _emit("speculative_decode_tok_s_g4_fullaccept_b1",
+              r["tok_s_fullaccept"], "tok/s",
+              r["tok_s_fullaccept"] / decode_tok_s[1])
 
     # ---- encoder throughput
     r = safe("e5_encode", bench_e5_encode)

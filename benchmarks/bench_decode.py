@@ -109,6 +109,72 @@ def run(batch: int, prompt: int, steps: int, temperature: float,
             "roofline_frac": round(toks / roof_tok_s, 3)}
 
 
+def run_speculative(batch: int, prompt: int, g: int, steps: int,
+                    iters: int = 3) -> dict:
+    """Time speculative verification rounds: each round is ONE forward
+    over a G-token window (decode_window) advancing G slots — the
+    full-acceptance pattern of prompt-lookup decoding.  The window step
+    stays KV-bandwidth-bound like single-token decode, so the measured
+    per-round time vs a plain decode step gives the verification
+    overhead, and G/overhead the end-to-end speedup ceiling; actual
+    speedup is (1 + E[accepted]) / overhead at the workload's
+    acceptance rate (RAG answers quoting retrieved passages accept
+    most drafts).  Correctness (speculative == greedy, token for token)
+    is pinned by tests/test_decoder.py.
+    """
+    import jax
+    import jax.numpy as jnp
+    from sdag_tpu.models.llama import (decode_window, init_decoder_params,
+                                       prefill)
+
+    cfg = bench_config()
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    cache_size = prompt + steps * g + g
+    ids = jax.random.randint(jax.random.PRNGKey(1), (batch, prompt), 0,
+                             cfg.vocab_size, jnp.int32)
+
+    @jax.jit
+    def make_cache(params, ids):
+        _, cache = prefill(params, cfg, ids, cache_size=cache_size,
+                           attn_impl="auto", block_q=512, block_k=512)
+        return cache
+
+    cache = jax.block_until_ready(make_cache(params, ids))
+    slot_iota = jnp.arange(cache_size, dtype=jnp.int32)
+    iota_g = jnp.arange(g, dtype=jnp.int32)
+
+    @jax.jit
+    def rounds(params, cache, cur):
+        def body(r, state):
+            cur, cache, acc = state
+            base = prompt + r * g
+            w = (cur[:, None] + iota_g[None, :]) % cfg.vocab_size
+            pos = jnp.broadcast_to(base + iota_g[None, :], (batch, g))
+            hist = (slot_iota < base)[None, None, :]
+            win = ((slot_iota[None, None, :] >= base) &
+                   (slot_iota[None, None, :] <= base + iota_g[None, :,
+                                                              None]))
+            mask3 = jnp.broadcast_to(hist | win, (batch, g, cache_size))
+            logits, cache = decode_window(
+                params, cfg, w, pos, cache,
+                jnp.full((batch,), base, jnp.int32), mask3)
+            cur = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return cur, cache, acc + cur[0]
+        _, _, acc = jax.lax.fori_loop(
+            0, steps, body, (cur, cache, jnp.int32(0)))
+        return acc
+
+    cur0 = jnp.zeros((batch,), jnp.int32)
+    np.asarray(rounds(params, cache, cur0))  # warm/compile
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.time()
+        np.asarray(rounds(params, cache, cur0))
+        best = min(best, time.time() - t0 - 0.03)
+    return {"batch": batch, "g": g, "round_ms": round(best / steps * 1e3, 3),
+            "tok_s_fullaccept": round(batch * g * steps / best, 1)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)

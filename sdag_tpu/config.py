@@ -117,6 +117,12 @@ class Config:
     # KV cache storage: "native" (model dtype) or "int8" (halved decode KV
     # traffic, per-slot scales, ~8-bit quantization error; opt-in)
     KV_CACHE_DTYPE: str = "native"
+    # Prompt-lookup speculative decoding: number of tokens drafted per
+    # round by continuing the last bigram's most recent prompt occurrence,
+    # verified in one KV-bound forward.  0 = off.  Greedy only
+    # (TEMPERATURE must be 0) and requires KV_CACHE_DTYPE="native";
+    # output is exactly the greedy continuation.
+    SPECULATIVE_DRAFT_LEN: int = 0
 
     # --- TPU mesh ----------------------------------------------------------
     # Mesh axis sizes; 0 = use all local devices on the data axis.
@@ -141,6 +147,15 @@ class Config:
         if self.DENSE_SEARCH_MODE not in {"approx", "exact"}:
             raise ValueError(
                 f"Unknown DENSE_SEARCH_MODE: {self.DENSE_SEARCH_MODE}")
+        if self.SPECULATIVE_DRAFT_LEN:
+            if not 0 < self.SPECULATIVE_DRAFT_LEN <= 15:
+                raise ValueError("SPECULATIVE_DRAFT_LEN must be in [0, 15]")
+            if self.TEMPERATURE != 0.0:
+                raise ValueError("SPECULATIVE_DRAFT_LEN requires greedy "
+                                 "sampling (TEMPERATURE=0)")
+            if self.KV_CACHE_DTYPE != "native":
+                raise ValueError("SPECULATIVE_DRAFT_LEN requires "
+                                 "KV_CACHE_DTYPE='native'")
         # SDAG doc-neighbor sets are int32 bitmasks (sdag/mask.py
         # MAX_DOC_BLOCKS): every prompt doc (top-k survivors + injected
         # malicious docs) needs a bit. Fail here, not mid-experiment.

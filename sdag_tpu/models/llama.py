@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from sdag_tpu.ops.attention import (masked_decode_attention,
                                     masked_decode_attention_int8,
+                                    masked_decode_window_attention,
                                     quantize_kv_heads_int8,
                                     sdag_prefill_attention)
 
@@ -338,6 +339,69 @@ def decode_step(params: Dict[str, Any], cfg: DecoderConfig,
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = _unembed(params, cfg, x)[:, 0, :].astype(jnp.float32)
+    return logits, new_cache
+
+
+def _update_rows_at(cache_layer: jax.Array, new: jax.Array,
+                    slots: jax.Array) -> jax.Array:
+    """Write G consecutive slots per batch row at per-row base offsets.
+
+    cache_layer: [B, Hkv, S, Dh]; new: [B, Hkv, G, Dh]; slots: [B] base
+    slot per row.  Speculative decoding advances each row by its own
+    accepted-token count, so rows write at diverging offsets — a vmapped
+    dynamic_update_slice (one per row) instead of the uniform-slot write
+    of :func:`decode_step`.
+    """
+    return jax.vmap(
+        lambda c, n, s: jax.lax.dynamic_update_slice(c, n, (0, s, 0))
+    )(cache_layer, new, slots)
+
+
+def decode_window(params: Dict[str, Any], cfg: DecoderConfig,
+                  tokens: jax.Array,        # [B, G] window tokens
+                  positions: jax.Array,     # [B, G] true (RoPE) positions
+                  cache: Dict[str, Any],
+                  write_slots: jax.Array,   # [B] per-row base cache slot
+                  cache_mask: jax.Array,    # [B, G, S] valid slots per row
+                  ) -> Tuple[jax.Array, Dict[str, Any]]:
+    """Speculative verification step: one forward over a G-token window.
+
+    Each window row attends the cache slots marked in its ``cache_mask``
+    row (history + within-window causal prefix — the caller builds this).
+    K/V of all G tokens are written at ``write_slots[b] .. +G-1``; the
+    caller is responsible for treating only the accepted prefix as valid
+    history afterwards (rejected slots are overwritten by the next
+    window, which always starts at or before them).
+
+    Returns (logits [B, G, V], updated cache).  Requires a native-dtype
+    cache (the int8 cache is a single-token-decode optimization).
+    """
+    if "k_scale" in cache:
+        raise NotImplementedError(
+            "speculative decode_window requires KV_CACHE_DTYPE='native'")
+    B, G = tokens.shape
+    x = params["embed"][tokens].astype(cfg.dtype)  # [B, G, d]
+
+    new_cache = dict(cache)
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["ln1"], cfg.norm_eps)
+        q, k, v = _project_qkv(layer["attn"], h, cfg)   # [B, H|Hkv, G, hd]
+        q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+        k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
+        new_cache["k"] = new_cache["k"].at[li].set(
+            _update_rows_at(new_cache["k"][li], k.astype(cfg.dtype),
+                            write_slots))
+        new_cache["v"] = new_cache["v"].at[li].set(
+            _update_rows_at(new_cache["v"][li], v.astype(cfg.dtype),
+                            write_slots))
+        attn_out = masked_decode_window_attention(
+            q, new_cache["k"][li], new_cache["v"][li], cache_mask)
+        attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, G, -1)
+        x = x + attn_out @ layer["attn"]["wo"]
+        x = x + _mlp(layer["mlp"], rms_norm(x, layer["ln2"], cfg.norm_eps))
+
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = _unembed(params, cfg, x).astype(jnp.float32)
     return logits, new_cache
 
 

@@ -817,6 +817,30 @@ def masked_decode_attention_int8(q, k_i8, v_i8, k_scale, v_scale,
     return out.reshape(B, H, Dh).astype(q.dtype)
 
 
+def masked_decode_window_attention(q, k_cache, v_cache, cache_mask):
+    """Multi-token decode attention for speculative verification windows.
+
+    q: [B, H, G, Dh] (G window tokens per row); caches: [B, Hkv, S, Dh];
+    cache_mask: [B, G, S] — per window row, the valid cache slots (history
+    plus the within-window causal prefix).  Same GQA group contraction as
+    :func:`masked_decode_attention`; G is small (the draft length), so the
+    step stays KV-bandwidth-bound like single-token decode — the whole
+    point of speculative decoding on TPU.
+    """
+    B, H, G, Dh = q.shape
+    hkv = k_cache.shape[1]
+    rep = H // hkv
+    qg = q.reshape(B, hkv, rep, G, Dh)
+    scores = jnp.einsum("bgrtd,bgjd->bgrtj", qg, k_cache,
+                        preferred_element_type=jnp.float32) * Dh ** -0.5
+    scores = jnp.where(cache_mask[:, None, None, :, :], scores,
+                       DEFAULT_MASK_VALUE)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bgrtj,bgjd->bgrtd", probs.astype(v_cache.dtype),
+                     v_cache)
+    return out.reshape(B, H, G, Dh)
+
+
 def quantize_kv_heads_int8(x):
     """Per-(.., slot) symmetric int8 quantization over the head dim.
     x: [..., S, Dh] -> (int8 values, f32 scales [..., S]).  Shares the

@@ -74,7 +74,8 @@ def build_generator(cfg: Config) -> Generator:
                                      dec_cfg)
     return Generator(params, dec_cfg, tok, temperature=cfg.TEMPERATURE,
                      top_p=cfg.TOP_P, seed=cfg.SEED,
-                     kv_cache_dtype=cfg.KV_CACHE_DTYPE)
+                     kv_cache_dtype=cfg.KV_CACHE_DTYPE,
+                     speculative_draft=cfg.SPECULATIVE_DRAFT_LEN)
 
 
 def init_resources(cfg: Config) -> Resources:

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sdag_tpu.models.llama import DecoderConfig, decode_step, prefill
+from sdag_tpu.models.llama import (DecoderConfig, decode_step, decode_window,
+                                   prefill)
 from sdag_tpu.ops.sampling import sample_tokens
 from sdag_tpu.sdag.spans import PromptPlan
 
@@ -38,7 +39,8 @@ class Generator:
                  attn_impl: str = "auto", seed: int = 0,
                  pad_multiple: int = 128,
                  block_align: Optional[int] = None,
-                 kv_cache_dtype: str = "native") -> None:
+                 kv_cache_dtype: str = "native",
+                 speculative_draft: int = 0) -> None:
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -48,6 +50,19 @@ class Generator:
         # 'int8' halves decode KV HBM traffic (per-slot scales; opt-in,
         # ~8-bit quantization error on cached keys/values)
         self.kv_cache_dtype = kv_cache_dtype
+        # Prompt-lookup speculative decoding (greedy only): per round,
+        # draft `speculative_draft` tokens by continuing the last bigram's
+        # most recent occurrence in the prompt, verify them in ONE
+        # KV-bound forward.  RAG answers quote retrieved passages, so
+        # drafts hit often; emitted text is exactly the greedy output.
+        self.speculative_draft = int(speculative_draft)
+        if self.speculative_draft:
+            if self.temperature != 0.0:
+                raise ValueError("speculative decoding requires greedy "
+                                 "sampling (temperature == 0)")
+            if kv_cache_dtype != "native":
+                raise ValueError("speculative decoding requires "
+                                 "KV_CACHE_DTYPE='native'")
         on_tpu = jax.default_backend() == "tpu"
         # TPU: 512-wide kernel tiles win on grid/DMA overhead.  Block-aligned
         # doc packing (block_align>0) is opt-in: for passage-sized docs the
@@ -118,6 +133,8 @@ class Generator:
         return self._compiled[key]
 
     def _build(self, lp: int, max_new: int):
+        if self.speculative_draft > 0:
+            return self._build_speculative(lp, max_new)
         cfg = self.cfg
         eos = int(self.tokenizer.eos_token_id)
         pad = int(self.tokenizer.pad_token_id)
@@ -188,6 +205,126 @@ class Generator:
 
             state = (jnp.int32(0), out0, cur, cache, done0, len0, key)
             _, out, _, _, _, lengths, _ = jax.lax.while_loop(cond, body,
+                                                             state)
+            return out, lengths
+
+        return run
+
+    def _build_speculative(self, lp: int, max_new: int):
+        """Greedy decode with prompt-lookup speculation.
+
+        Each round: (1) draft D tokens by continuing the most recent
+        prompt occurrence of the current (prev, cur) bigram, (2) verify
+        [cur, drafts] in ONE G=D+1-token forward (KV-bandwidth-bound,
+        like a single decode step), (3) accept the longest draft prefix
+        matching the model's own greedy tokens, plus the bonus token.
+        Rows advance by their own accepted counts (per-row cache offsets);
+        output is exactly the greedy continuation — speculation only
+        changes how many forwards it takes.
+        """
+        cfg = self.cfg
+        eos = int(self.tokenizer.eos_token_id)
+        pad = int(self.tokenizer.pad_token_id)
+        attn_impl = self.attn_impl
+        G = self.speculative_draft + 1
+        # window writes G slots starting at (lp + emitted) <= lp+max_new-1
+        cache_size = lp + max_new + G
+        block = self.pad_multiple
+
+        @jax.jit
+        def run(params, input_ids, doc_id, nbr_bits, sys_user_len, valid_len,
+                key):
+            del key  # greedy
+            batch = input_ids.shape[0]
+            logits, cache = prefill(
+                params, cfg, input_ids, doc_id=doc_id, nbr_bits=nbr_bits,
+                sys_user_len=sys_user_len, valid_len=valid_len,
+                cache_size=cache_size, attn_impl=attn_impl,
+                block_q=block, block_k=block)
+            last = jnp.take_along_axis(
+                logits, (valid_len - 1)[:, None, None], axis=1)[:, 0, :]
+            cur0 = jnp.argmax(last, axis=-1).astype(jnp.int32)
+            prev0 = jnp.take_along_axis(
+                input_ids, (valid_len - 1)[:, None], axis=1)[:, 0]
+
+            slot_iota = jnp.arange(cache_size, dtype=jnp.int32)[None, :]
+            active = jnp.concatenate(
+                [doc_id != -2, jnp.ones((batch, max_new + G), bool)], axis=1)
+            base_mask = (slot_iota < valid_len[:, None]) & active
+            real_len = jnp.sum(
+                ((doc_id != -2) &
+                 (slot_iota[:, :lp] < valid_len[:, None])).astype(jnp.int32),
+                axis=1)
+
+            jpos = jnp.arange(lp - 1, dtype=jnp.int32)
+            iota_g = jnp.arange(G, dtype=jnp.int32)
+            col = jnp.arange(max_new, dtype=jnp.int32)[None, :]
+
+            out0 = jnp.full((batch, max_new), pad, jnp.int32)
+            done0 = jnp.zeros((batch,), bool)
+            n0 = jnp.zeros((batch,), jnp.int32)
+
+            def cond(state):
+                r, _, _, _, _, _, done = state
+                return (r < max_new) & jnp.logical_not(jnp.all(done))
+
+            def body(state):
+                r, out, prev, cur, n, cache, done = state
+                # ---- draft: continue the last (prev, cur) bigram match
+                m = ((input_ids[:, :-1] == prev[:, None]) &
+                     (input_ids[:, 1:] == cur[:, None]) &
+                     ((jpos + 1)[None, :] < valid_len[:, None]))
+                found = jnp.any(m, axis=1)
+                jstar = jnp.max(jnp.where(m, jpos[None, :], -1), axis=1)
+                src = jstar[:, None] + 2 + iota_g[None, :G - 1]
+                ok = found[:, None] & (src < valid_len[:, None])
+                drafts = jnp.take_along_axis(input_ids,
+                                             jnp.clip(src, 0, lp - 1), axis=1)
+                drafts = jnp.where(ok, drafts, cur[:, None])
+                w = jnp.concatenate([cur[:, None], drafts], axis=1)  # [B,G]
+
+                # ---- verify in one G-token forward
+                pos = (real_len + n)[:, None] + iota_g[None, :]
+                base = lp + n
+                hist = base_mask | ((slot_iota >= lp) &
+                                    (slot_iota < base[:, None]))
+                win = ((slot_iota[:, None, :] >= base[:, None, None]) &
+                       (slot_iota[:, None, :] <=
+                        base[:, None, None] + iota_g[None, :, None]))
+                mask3 = hist[:, None, :] | win
+                logits, cache = decode_window(params, cfg, w, pos, cache,
+                                              base, mask3)
+                g_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+                # ---- accept longest matching draft prefix (+ EOS/budget)
+                match = (w[:, 1:] == g_tok[:, :-1]).astype(jnp.int32)
+                a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+                eos_pos = jnp.min(jnp.where(w == eos, iota_g[None, :], G),
+                                  axis=1)
+                emit = jnp.minimum(jnp.minimum(1 + a, eos_pos + 1),
+                                   max_new - n)
+                emit = jnp.where(done, 0, emit)
+
+                rel = col - n[:, None]
+                in_row = (rel >= 0) & (rel < emit[:, None])
+                vals = jnp.take_along_axis(w, jnp.clip(rel, 0, G - 1),
+                                           axis=1)
+                out = jnp.where(in_row, vals, out)
+
+                hit_eos = eos_pos < emit
+                n = n + emit
+                done = done | hit_eos | (n >= max_new)
+                last_idx = jnp.maximum(emit - 1, 0)[:, None]
+                prev = jnp.where(emit > 0,
+                                 jnp.take_along_axis(w, last_idx, 1)[:, 0],
+                                 prev)
+                cur = jnp.where(done, eos,
+                                jnp.take_along_axis(g_tok, last_idx,
+                                                    1)[:, 0])
+                return r + 1, out, prev, cur, n, cache, done
+
+            state = (jnp.int32(0), out0, prev0, cur0, n0, cache, done0)
+            _, out, _, _, lengths, _, _ = jax.lax.while_loop(cond, body,
                                                              state)
             return out, lengths
 

@@ -242,6 +242,55 @@ def test_generator_top_p_in_decode_loop(params):
     assert gen2.generate_ids(ids, max_new_tokens=6) == outs
 
 
+def test_speculative_greedy_matches_basic(params):
+    """Prompt-lookup speculative decoding must emit EXACTLY the greedy
+    continuation — speculation changes how many forwards it takes, never
+    the tokens.  Covers draft hit and miss paths (repetitive prompts make
+    bigram matches fire; random ones mostly miss)."""
+    tok = ByteTokenizer()
+    g0 = Generator(params, CFG, tok, temperature=0.0)
+    prompts = ["hello world this is a prompt",
+               "abc abc abc abc abc abc abc",
+               "the quick brown fox jumps over the lazy dog the quick"]
+    for draft in (1, 3, 7):
+        gs = Generator(params, CFG, tok, temperature=0.0,
+                       speculative_draft=draft)
+        for text in prompts:
+            ids = [np.asarray(tok.encode(text), np.int32)]
+            a = g0.generate_ids(ids, max_new_tokens=12)
+            b = gs.generate_ids(ids, max_new_tokens=12)
+            assert a == b, (draft, text)
+
+
+def test_speculative_batch_and_iso_paths(params):
+    """Batched rows advance by their own accepted counts (per-row cache
+    offsets); results must equal the basic loop row for row, and the ISO
+    (document-isolation prefill) path must match too."""
+    tok = ByteTokenizer()
+    g0 = Generator(params, CFG, tok, temperature=0.0)
+    gs = Generator(params, CFG, tok, temperature=0.0, speculative_draft=4)
+    ids = [np.asarray(tok.encode("ab"), np.int32),
+           np.asarray(tok.encode("xyz xyz xyz xyz"), np.int32),
+           np.asarray(tok.encode("a much longer prompt with words"),
+                      np.int32)]
+    assert gs.generate_ids(ids, max_new_tokens=10) == \
+        g0.generate_ids(ids, max_new_tokens=10)
+
+    docs = ["alpha beta gamma delta", "epsilon zeta eta"]
+    plan = build_rag_prompt_plan(tok, "letters?", docs)
+    assert gs.generate_plans([plan], max_new_tokens=10) == \
+        g0.generate_plans([plan], max_new_tokens=10)
+
+
+def test_speculative_config_guards(params):
+    tok = ByteTokenizer()
+    with pytest.raises(ValueError):
+        Generator(params, CFG, tok, temperature=0.5, speculative_draft=4)
+    with pytest.raises(ValueError):
+        Generator(params, CFG, tok, temperature=0.0, speculative_draft=4,
+                  kv_cache_dtype="int8")
+
+
 def test_int8_kv_cache_decode_matches_native(params):
     """Opt-in int8 KV cache: decode logits must track the native-dtype
     cache within 8-bit quantization error, and the Generator path must run
