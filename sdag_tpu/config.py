@@ -119,9 +119,10 @@ class Config:
     KV_CACHE_DTYPE: str = "native"
     # Prompt-lookup speculative decoding: number of tokens drafted per
     # round by continuing the last bigram's most recent prompt occurrence,
-    # verified in one KV-bound forward.  0 = off.  Greedy only
-    # (TEMPERATURE must be 0) and requires KV_CACHE_DTYPE="native";
-    # output is exactly the greedy continuation.
+    # verified in one KV-bound forward.  0 = off.  Requires
+    # KV_CACHE_DTYPE="native".  TEMPERATURE=0 emits exactly the greedy
+    # continuation; TEMPERATURE>0 uses exact speculative sampling (the
+    # output distribution equals the non-speculative sampler's).
     SPECULATIVE_DRAFT_LEN: int = 0
 
     # --- TPU mesh ----------------------------------------------------------
@@ -150,9 +151,6 @@ class Config:
         if self.SPECULATIVE_DRAFT_LEN:
             if not 0 < self.SPECULATIVE_DRAFT_LEN <= 15:
                 raise ValueError("SPECULATIVE_DRAFT_LEN must be in [0, 15]")
-            if self.TEMPERATURE != 0.0:
-                raise ValueError("SPECULATIVE_DRAFT_LEN requires greedy "
-                                 "sampling (TEMPERATURE=0)")
             if self.KV_CACHE_DTYPE != "native":
                 raise ValueError("SPECULATIVE_DRAFT_LEN requires "
                                  "KV_CACHE_DTYPE='native'")

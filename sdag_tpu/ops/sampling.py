@@ -66,3 +66,67 @@ def sample_tokens(key: jax.Array, logits: jax.Array,
     choice = jax.random.categorical(key, vals, axis=-1)
     return jnp.take_along_axis(idx, choice[..., None],
                                axis=-1)[..., 0].astype(jnp.int32)
+
+
+def _nucleus_vals_idx(logits: jax.Array, top_p: float, nucleus_topk: int):
+    """Shared bounded-nucleus candidate set: (vals, idx) of the top-k
+    logits with outside-nucleus entries masked to -inf — exactly the
+    candidate set ``sample_tokens`` draws from (same keep rule, full-vocab
+    partition function for the CDF)."""
+    kk = min(nucleus_topk, logits.shape[-1])
+    vals, idx = jax.lax.top_k(logits, kk)
+    logz = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+    probs = jnp.exp(vals - logz)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < top_p
+    return jnp.where(keep, vals, -jnp.inf), idx
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("temperature", "top_p", "nucleus_topk"))
+def draft_accept_probs(logits: jax.Array, drafts: jax.Array,
+                       temperature: float, top_p: float = 1.0,
+                       nucleus_topk: int = 64) -> jax.Array:
+    """P(draft token) under ``sample_tokens``' distribution, per position.
+
+    logits: [..., V]; drafts: [...] token ids.  Used by speculative
+    sampling: a deterministic (prob-1) draft is accepted with probability
+    p(draft), which keeps the output distribution exactly equal to
+    sampling from ``sample_tokens`` step by step.
+    """
+    logits = logits / temperature
+    if top_p >= 1.0:
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        ld = jnp.take_along_axis(logits, drafts[..., None], axis=-1)[..., 0]
+        return jnp.exp(ld - logz)
+    vals, idx = _nucleus_vals_idx(logits, top_p, nucleus_topk)
+    # renormalize over the kept set (what the categorical in sample_tokens
+    # does); a draft outside the kept set has probability 0
+    logz = jax.nn.logsumexp(vals, axis=-1)
+    hit = idx == drafts[..., None]
+    ld = jnp.max(jnp.where(hit, vals, -jnp.inf), axis=-1)
+    return jnp.exp(ld - logz)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("temperature", "top_p", "nucleus_topk"))
+def sample_excluding(key: jax.Array, logits: jax.Array, excl: jax.Array,
+                     temperature: float, top_p: float = 1.0,
+                     nucleus_topk: int = 64) -> jax.Array:
+    """Sample like ``sample_tokens`` but with token ``excl[b]`` removed
+    (excl == -1 disables exclusion for that row).  logits: [B, V].
+
+    This is the residual draw of speculative sampling with a prob-1
+    draft: on rejection of d, the residual distribution max(p - δ_d, 0)
+    renormalized is exactly p restricted to x != d.
+    """
+    logits = logits / temperature
+    if top_p >= 1.0:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        masked = jnp.where(col == excl[:, None], -jnp.inf, logits)
+        return jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+    vals, idx = _nucleus_vals_idx(logits, top_p, nucleus_topk)
+    vals = jnp.where(idx == excl[:, None], -jnp.inf, vals)
+    choice = jax.random.categorical(key, vals, axis=-1)
+    return jnp.take_along_axis(idx, choice[:, None],
+                               axis=-1)[:, 0].astype(jnp.int32)

@@ -23,7 +23,8 @@ import numpy as np
 
 from sdag_tpu.models.llama import (DecoderConfig, decode_step, decode_window,
                                    prefill)
-from sdag_tpu.ops.sampling import sample_tokens
+from sdag_tpu.ops.sampling import (draft_accept_probs, sample_excluding,
+                                   sample_tokens)
 from sdag_tpu.sdag.spans import PromptPlan
 
 
@@ -50,19 +51,18 @@ class Generator:
         # 'int8' halves decode KV HBM traffic (per-slot scales; opt-in,
         # ~8-bit quantization error on cached keys/values)
         self.kv_cache_dtype = kv_cache_dtype
-        # Prompt-lookup speculative decoding (greedy only): per round,
-        # draft `speculative_draft` tokens by continuing the last bigram's
-        # most recent occurrence in the prompt, verify them in ONE
-        # KV-bound forward.  RAG answers quote retrieved passages, so
-        # drafts hit often; emitted text is exactly the greedy output.
+        # Prompt-lookup speculative decoding: per round, draft
+        # `speculative_draft` tokens by continuing the last bigram's most
+        # recent occurrence in the prompt, verify them in ONE KV-bound
+        # forward.  RAG answers quote retrieved passages, so drafts hit
+        # often.  Greedy (T=0) emits exactly the greedy continuation;
+        # T>0 uses exact speculative sampling (accept draft d with
+        # probability p(d), residual draw on rejection) so the output
+        # DISTRIBUTION equals the non-speculative sampler's.
         self.speculative_draft = int(speculative_draft)
-        if self.speculative_draft:
-            if self.temperature != 0.0:
-                raise ValueError("speculative decoding requires greedy "
-                                 "sampling (temperature == 0)")
-            if kv_cache_dtype != "native":
-                raise ValueError("speculative decoding requires "
-                                 "KV_CACHE_DTYPE='native'")
+        if self.speculative_draft and kv_cache_dtype != "native":
+            raise ValueError("speculative decoding requires "
+                             "KV_CACHE_DTYPE='native'")
         on_tpu = jax.default_backend() == "tpu"
         # TPU: 512-wide kernel tiles win on grid/DMA overhead.  Block-aligned
         # doc packing (block_align>0) is opt-in: for passage-sized docs the
@@ -211,21 +211,27 @@ class Generator:
         return run
 
     def _build_speculative(self, lp: int, max_new: int):
-        """Greedy decode with prompt-lookup speculation.
+        """Decode with prompt-lookup speculation.
 
         Each round: (1) draft D tokens by continuing the most recent
         prompt occurrence of the current (prev, cur) bigram, (2) verify
         [cur, drafts] in ONE G=D+1-token forward (KV-bandwidth-bound,
-        like a single decode step), (3) accept the longest draft prefix
-        matching the model's own greedy tokens, plus the bonus token.
-        Rows advance by their own accepted counts (per-row cache offsets);
-        output is exactly the greedy continuation — speculation only
-        changes how many forwards it takes.
+        like a single decode step), (3) accept the longest valid draft
+        prefix, plus a bonus token from the model.  Greedy: a draft is
+        valid iff it equals the model's argmax — output is exactly the
+        greedy continuation.  Sampling (T>0): draft d is accepted with
+        probability p(d) under the engine's (temperature, top_p)
+        distribution, and the bonus/residual token is drawn from p
+        (excluding a rejected draft) — exact speculative sampling, so
+        the output distribution equals the non-speculative sampler's.
+        Rows advance by their own accepted counts (per-row cache
+        offsets); speculation only changes how many forwards it takes.
         """
         cfg = self.cfg
         eos = int(self.tokenizer.eos_token_id)
         pad = int(self.tokenizer.pad_token_id)
         attn_impl = self.attn_impl
+        temperature, top_p = self.temperature, self.top_p
         G = self.speculative_draft + 1
         # window writes G slots starting at (lp + emitted) <= lp+max_new-1
         cache_size = lp + max_new + G
@@ -234,7 +240,6 @@ class Generator:
         @jax.jit
         def run(params, input_ids, doc_id, nbr_bits, sys_user_len, valid_len,
                 key):
-            del key  # greedy
             batch = input_ids.shape[0]
             logits, cache = prefill(
                 params, cfg, input_ids, doc_id=doc_id, nbr_bits=nbr_bits,
@@ -243,7 +248,8 @@ class Generator:
                 block_q=block, block_k=block)
             last = jnp.take_along_axis(
                 logits, (valid_len - 1)[:, None, None], axis=1)[:, 0, :]
-            cur0 = jnp.argmax(last, axis=-1).astype(jnp.int32)
+            key, sub = jax.random.split(key)
+            cur0 = sample_tokens(sub, last, temperature, top_p)
             prev0 = jnp.take_along_axis(
                 input_ids, (valid_len - 1)[:, None], axis=1)[:, 0]
 
@@ -265,11 +271,11 @@ class Generator:
             n0 = jnp.zeros((batch,), jnp.int32)
 
             def cond(state):
-                r, _, _, _, _, _, done = state
+                r, _, _, _, _, _, done, _ = state
                 return (r < max_new) & jnp.logical_not(jnp.all(done))
 
             def body(state):
-                r, out, prev, cur, n, cache, done = state
+                r, out, prev, cur, n, cache, done, key = state
                 # ---- draft: continue the last (prev, cur) bigram match
                 m = ((input_ids[:, :-1] == prev[:, None]) &
                      (input_ids[:, 1:] == cur[:, None]) &
@@ -294,10 +300,17 @@ class Generator:
                 mask3 = hist[:, None, :] | win
                 logits, cache = decode_window(params, cfg, w, pos, cache,
                                               base, mask3)
-                g_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-                # ---- accept longest matching draft prefix (+ EOS/budget)
-                match = (w[:, 1:] == g_tok[:, :-1]).astype(jnp.int32)
+                # ---- accept longest valid draft prefix (+ EOS/budget)
+                if temperature == 0.0:
+                    g_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    match = (w[:, 1:] == g_tok[:, :-1]).astype(jnp.int32)
+                else:
+                    key, ku, ks = jax.random.split(key, 3)
+                    p_acc = draft_accept_probs(logits[:, :-1], w[:, 1:],
+                                               temperature, top_p)
+                    u = jax.random.uniform(ku, p_acc.shape)
+                    match = (u < p_acc).astype(jnp.int32)
                 a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
                 eos_pos = jnp.min(jnp.where(w == eos, iota_g[None, :], G),
                                   axis=1)
@@ -318,14 +331,26 @@ class Generator:
                 prev = jnp.where(emit > 0,
                                  jnp.take_along_axis(w, last_idx, 1)[:, 0],
                                  prev)
-                cur = jnp.where(done, eos,
-                                jnp.take_along_axis(g_tok, last_idx,
-                                                    1)[:, 0])
-                return r + 1, out, prev, cur, n, cache, done
+                if temperature == 0.0:
+                    nxt = jnp.take_along_axis(g_tok, last_idx, 1)[:, 0]
+                else:
+                    # bonus/residual draw from the last verified position;
+                    # exclude the rejected draft iff the chain was cut by
+                    # a rejection (not by EOS/budget/full acceptance)
+                    logits_last = jnp.take_along_axis(
+                        logits, last_idx[:, :, None], axis=1)[:, 0, :]
+                    cut_by_rej = (emit == 1 + a) & (a < G - 1) & ~done
+                    rej = jnp.take_along_axis(
+                        w, jnp.clip(emit, 0, G - 1)[:, None], 1)[:, 0]
+                    excl = jnp.where(cut_by_rej, rej, -1)
+                    nxt = sample_excluding(ks, logits_last, excl,
+                                           temperature, top_p)
+                cur = jnp.where(done, eos, nxt)
+                return r + 1, out, prev, cur, n, cache, done, key
 
-            state = (jnp.int32(0), out0, prev0, cur0, n0, cache, done0)
-            _, out, _, _, lengths, _, _ = jax.lax.while_loop(cond, body,
-                                                             state)
+            state = (jnp.int32(0), out0, prev0, cur0, n0, cache, done0, key)
+            _, out, _, _, lengths, _, _, _ = jax.lax.while_loop(cond, body,
+                                                                state)
             return out, lengths
 
         return run

@@ -285,10 +285,63 @@ def test_speculative_batch_and_iso_paths(params):
 def test_speculative_config_guards(params):
     tok = ByteTokenizer()
     with pytest.raises(ValueError):
-        Generator(params, CFG, tok, temperature=0.5, speculative_draft=4)
-    with pytest.raises(ValueError):
         Generator(params, CFG, tok, temperature=0.0, speculative_draft=4,
                   kv_cache_dtype="int8")
+
+
+def test_speculative_sampling_distribution_exact():
+    """Speculative sampling's accept/residual pair must reproduce the
+    sample_tokens distribution EXACTLY (up to Monte-Carlo error): accept
+    the prob-1 draft d with p(d), else draw from p excluding d."""
+    from sdag_tpu.ops.sampling import draft_accept_probs, sample_excluding
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((1, 12)).astype(np.float32) * 2)
+    n_mc = 4000
+    for top_p in (1.0, 0.8):
+        for draft in (3, 7):
+            temperature = 0.9
+            p_acc = float(draft_accept_probs(
+                logits, jnp.asarray([draft]), temperature, top_p)[0])
+
+            def spec_draw(key):
+                ku, ks = jax.random.split(key)
+                u = jax.random.uniform(ku, ())
+                res = sample_excluding(ks, logits,
+                                       jnp.asarray([draft], jnp.int32),
+                                       temperature, top_p)[0]
+                return jnp.where(u < p_acc, draft, res)
+
+            keys = jax.random.split(jax.random.PRNGKey(1), n_mc)
+            spec = np.asarray(jax.vmap(spec_draw)(keys))
+            ref = np.asarray(jax.vmap(
+                lambda k: sample_tokens(k, logits, temperature, top_p)[0]
+            )(jax.random.split(jax.random.PRNGKey(2), n_mc)))
+            f_spec = np.bincount(spec, minlength=12) / n_mc
+            f_ref = np.bincount(ref, minlength=12) / n_mc
+            # MC std ~ sqrt(p/n) ~ 0.008; allow 4 sigma
+            assert np.abs(f_spec - f_ref).max() < 0.04, (top_p, draft)
+
+
+def test_speculative_sampling_engine_runs_and_matches_greedy_limit(params):
+    """T>0 speculative engine: same-seed determinism, and at a vanishing
+    temperature the sampled output collapses to the greedy continuation
+    (accept probabilities -> 1/0, residual -> argmax)."""
+    tok = ByteTokenizer()
+    ids = [np.asarray(tok.encode("abc abc abc abc abc"), np.int32),
+           np.asarray(tok.encode("the quick brown fox the quick"), np.int32)]
+    g1 = Generator(params, CFG, tok, temperature=0.7, top_p=0.9, seed=3,
+                   speculative_draft=4)
+    g2 = Generator(params, CFG, tok, temperature=0.7, top_p=0.9, seed=3,
+                   speculative_draft=4)
+    a = g1.generate_ids(ids, max_new_tokens=10)
+    assert a == g2.generate_ids(ids, max_new_tokens=10)
+
+    g_cold = Generator(params, CFG, tok, temperature=1e-5, seed=3,
+                       speculative_draft=4)
+    g_greedy = Generator(params, CFG, tok, temperature=0.0)
+    assert g_cold.generate_ids(ids, max_new_tokens=10) == \
+        g_greedy.generate_ids(ids, max_new_tokens=10)
 
 
 def test_int8_kv_cache_decode_matches_native(params):
