@@ -82,6 +82,42 @@ def context_parallel_prefill_attention(
     return fn(q, k, v, doc_id, nbr_bits, sys_user_len, valid_len)
 
 
+def chunk_needed(did_q, nbr_q, did_k, i_max, j0, col_k, sys_user_len,
+                 valid_len):
+    """Chunk-level SDAG skip predicate for ring attention (per batch row).
+
+    True iff ANY (q row, k col) pair between this device's q shard and
+    the incoming k chunk can be visible under the ``_tile_mask`` rule —
+    a conservative summary (doc-id bitmask overlap, neighbor-union
+    overlap, causal extent, prefix presence), so predicate False implies
+    the full tile mask is all-False (property-tested).
+
+    did_q/nbr_q: [Ls] q-shard metadata; did_k: [Lc] chunk doc ids;
+    i_max: last global q row; j0: chunk start col; col_k: [Lc] global
+    cols of the chunk; scalars sys_user_len/valid_len.
+    """
+    valid_k = col_k < valid_len
+    doc_k = (did_k >= 0) & valid_k
+    docs_k_bits = jnp.bitwise_or.reduce(
+        jnp.where(doc_k, jnp.left_shift(1, jnp.clip(did_k, 0, 31)), 0))
+    has_nonhole_k = jnp.any((did_k != -2) & valid_k)
+    has_prefix_k = jnp.any((did_k == -1) & (col_k < sys_user_len) & valid_k)
+
+    doc_q = did_q >= 0
+    docs_q_bits = jnp.bitwise_or.reduce(
+        jnp.where(doc_q, jnp.left_shift(1, jnp.clip(did_q, 0, 31)), 0))
+    nbr_union = jnp.bitwise_or.reduce(jnp.where(doc_q, nbr_q, 0))
+    has_nondoc_q = jnp.any(jnp.logical_not(doc_q))
+
+    causal_overlap = (j0 <= i_max) & (j0 < valid_len)
+    causal_need = causal_overlap & (
+        (has_nondoc_q & has_nonhole_k)            # non-doc rows: causal all
+        | ((docs_q_bits & docs_k_bits) != 0)      # same-doc diagonal
+        | has_prefix_k)                           # doc rows -> sys/user
+    nbr_need = (nbr_union & docs_k_bits) != 0     # full-span neighbors
+    return causal_need | nbr_need
+
+
 def ring_prefill_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                            valid_len, mesh: Mesh, axis: str = "model"):
     """Memory-scalable context parallelism: ring attention with the SDAG
@@ -121,26 +157,47 @@ def ring_prefill_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
             k_c, v_c, did_c, m, l, acc = carry
             src = (idx - s) % n
             j = src * shard_len + j_local
+            col_k = src * shard_len + jnp.arange(shard_len, dtype=jnp.int32)
+            i_max = idx * shard_len + Ls - 1
 
-            def mask_b(did_q_b, did_k_b, nbr_q_b, sul_b, vl_b):
-                return _tile_mask(i, j, did_q_b[:, None], did_k_b[None, :],
-                                  nbr_q_b[:, None], sul_b, vl_b)
+            # chunk-level block-kind skip: when no (q row, k col) pair of
+            # this (shard, chunk) can be visible under the SDAG rule, skip
+            # the O(Ls^2*Dh) score/update work entirely (the ppermute
+            # still runs — the ring must keep moving).  chunk_needed=False
+            # implies the full tile mask is all-False (property-tested).
+            needed = jnp.any(jax.vmap(
+                lambda dq, nq, dk, sul_b, vl_b: chunk_needed(
+                    dq, nq, dk, i_max, src * shard_len, col_k, sul_b, vl_b)
+            )(did_s, nbr_s, did_c, sul, vl))
 
-            mask = jax.vmap(mask_b)(did_s, did_c, nbr_s, sul, vl)  # [B,Ls,Lc]
-            s_raw = jnp.einsum("bgrld,bgjd->bgrlj", qg,
-                               k_c.astype(jnp.float32))
-            s_msk = jnp.where(mask[:, None, None], s_raw, DEFAULT_MASK_VALUE)
-            m_new = jnp.maximum(m, jnp.max(s_msk, axis=-1))
-            p = jnp.exp(s_msk - m_new[..., None])
-            p = jnp.where(mask[:, None, None], p, 0.0)
-            corr = jnp.exp(m - m_new)
-            l = l * corr + jnp.sum(p, axis=-1)
-            acc = acc * corr[..., None] + jnp.einsum(
-                "bgrlj,bgjd->bgrld", p, v_c.astype(jnp.float32))
+            def compute(mla):
+                m, l, acc = mla
+
+                def mask_b(did_q_b, did_k_b, nbr_q_b, sul_b, vl_b):
+                    return _tile_mask(i, j, did_q_b[:, None],
+                                      did_k_b[None, :], nbr_q_b[:, None],
+                                      sul_b, vl_b)
+
+                mask = jax.vmap(mask_b)(did_s, did_c, nbr_s, sul, vl)
+                s_raw = jnp.einsum("bgrld,bgjd->bgrlj", qg,
+                                   k_c.astype(jnp.float32))
+                s_msk = jnp.where(mask[:, None, None], s_raw,
+                                  DEFAULT_MASK_VALUE)
+                m_new = jnp.maximum(m, jnp.max(s_msk, axis=-1))
+                p = jnp.exp(s_msk - m_new[..., None])
+                p = jnp.where(mask[:, None, None], p, 0.0)
+                corr = jnp.exp(m - m_new)
+                l_new = l * corr + jnp.sum(p, axis=-1)
+                acc_new = acc * corr[..., None] + jnp.einsum(
+                    "bgrlj,bgjd->bgrld", p, v_c.astype(jnp.float32))
+                return m_new, l_new, acc_new
+
+            m, l, acc = jax.lax.cond(needed, compute, lambda mla: mla,
+                                     (m, l, acc))
             k_c = jax.lax.ppermute(k_c, axis, perm)
             v_c = jax.lax.ppermute(v_c, axis, perm)
             did_c = jax.lax.ppermute(did_c, axis, perm)
-            return k_c, v_c, did_c, m_new, l, acc
+            return k_c, v_c, did_c, m, l, acc
 
         _, _, _, _, l, acc = jax.lax.fori_loop(
             0, n, body, (k_s, v_s, did_s, m0, l0, acc0))

@@ -148,6 +148,56 @@ def test_ring_context_parallel_matches_single_device():
         assert ring_t <= ag_t - kv_full // 2, (ring_t, ag_t)
 
 
+def test_ring_chunk_skip_predicate_sound():
+    """Soundness of the ring block-kind skip: whenever ``chunk_needed`` is
+    False for a (q shard, k chunk) pair, the exact ``_tile_mask`` over
+    that tile must be all-False — randomized layouts, shards, and chunk
+    positions.  Also checks the predicate actually fires (skips exist)
+    on isolated multi-doc layouts."""
+    import numpy as np
+    from sdag_tpu.ops.attention import _tile_mask
+    from sdag_tpu.parallel.context import chunk_needed
+
+    rng = np.random.default_rng(7)
+    L, n = 256, 8
+    ls = L // n
+    skipped = 0
+    for trial in range(40):
+        sul = int(rng.integers(8, 48))
+        did = np.full(L, -1, np.int32)
+        nbr = np.zeros(L, np.int32)
+        pos = sul
+        d = 0
+        while pos < L - 24 and d < 12:
+            dl = int(rng.integers(8, 40))
+            did[pos:pos + dl] = d
+            if rng.random() < 0.4 and d > 0:   # random neighbor window
+                nbr[pos:pos + dl] = 1 << int(rng.integers(0, d))
+            pos += dl + int(rng.integers(0, 6))
+            d += 1
+        vl = int(rng.integers(min(pos, L), L + 1))
+
+        didj = jnp.asarray(did)
+        nbrj = jnp.asarray(nbr)
+        for si in range(n):
+            for sj in range(n):
+                i0, j0 = si * ls, sj * ls
+                col_k = jnp.arange(j0, j0 + ls, dtype=jnp.int32)
+                need = bool(chunk_needed(
+                    didj[i0:i0 + ls], nbrj[i0:i0 + ls], didj[j0:j0 + ls],
+                    i0 + ls - 1, j0, col_k, sul, vl))
+                if not need:
+                    skipped += 1
+                    i = np.arange(i0, i0 + ls)[:, None]
+                    j = np.arange(j0, j0 + ls)[None, :]
+                    mask = np.asarray(_tile_mask(
+                        jnp.asarray(i), jnp.asarray(j),
+                        didj[i0:i0 + ls][:, None], didj[j0:j0 + ls][None, :],
+                        nbrj[i0:i0 + ls][:, None], sul, vl))
+                    assert not mask.any(), (trial, si, sj)
+    assert skipped > 100  # the predicate must actually skip work
+
+
 def test_pipeline_parallel_loss_matches_single_device():
     """GPipe-style pipeline parallelism over 4 stages: microbatched,
     ppermute-scheduled loss must equal the plain single-device LM loss,
