@@ -141,15 +141,19 @@ def rope(x: jax.Array, positions: jax.Array, theta: float,
 
 
 def _project_qkv(attn: Dict[str, jax.Array], x: jax.Array,
-                 cfg: DecoderConfig):
+                 cfg: DecoderConfig, tp_axis: Optional[str] = None):
+    """Head counts are inferred from the weight shapes, so under tensor
+    parallelism (head-sharded wq/wk/wv inside shard_map) this yields the
+    device's local head slice with no code change."""
+    del tp_axis  # sharding is carried entirely by the weight shapes
     B, L, _ = x.shape
     hd = cfg.head_dim
     q = x @ attn["wq"]
     k = x @ attn["wk"]
     v = x @ attn["wv"]
-    q = q.reshape(B, L, cfg.n_heads, hd).transpose(0, 2, 1, 3)
-    k = k.reshape(B, L, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(B, L, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
+    q = q.reshape(B, L, q.shape[-1] // hd, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, L, k.shape[-1] // hd, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, L, v.shape[-1] // hd, hd).transpose(0, 2, 1, 3)
     return q, k, v
 
 
@@ -157,10 +161,27 @@ def _mlp(mlp: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
     return (jax.nn.silu(x @ mlp["gate"]) * (x @ mlp["up"])) @ mlp["down"]
 
 
-def _unembed(params: Dict[str, Any], cfg: DecoderConfig, x: jax.Array):
+def _unembed(params: Dict[str, Any], cfg: DecoderConfig, x: jax.Array,
+             tp_axis: Optional[str] = None):
+    """Project to vocab logits.  Under tensor parallelism (inside a
+    shard_map over `tp_axis`), lm_head arrives vocab-sharded
+    (decoder_param_specs: P(None, 'model')) — each device computes its
+    vocab slice and the slices are all-gathered so sampling sees full
+    logits; tied embeddings are replicated, so no collective is needed.
+    """
     if cfg.tie_embeddings:
         return x @ params["embed"].T
-    return x @ params["lm_head"]
+    logits = x @ params["lm_head"]
+    if tp_axis is not None:
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    return logits
+
+
+def _maybe_psum(x: jax.Array, tp_axis: Optional[str]) -> jax.Array:
+    """Sum partial activations across the tensor-parallel axis (Megatron:
+    wo and mlp.down are input-sharded, so their matmul outputs are
+    partial sums).  No-op outside shard_map."""
+    return x if tp_axis is None else jax.lax.psum(x, tp_axis)
 
 
 def layer_forward(layer: Dict[str, Any], cfg: DecoderConfig, x: jax.Array,
@@ -168,13 +189,20 @@ def layer_forward(layer: Dict[str, Any], cfg: DecoderConfig, x: jax.Array,
                   nbr_bits: jax.Array, sys_user_len: jax.Array,
                   valid_len: jax.Array, attn_impl: str = "auto",
                   block_q: int = 128, block_k: int = 128,
-                  with_kv: bool = False):
+                  with_kv: bool = False, tp_axis: Optional[str] = None):
     """One decoder layer (attention + MLP with residuals).  Shared by the
     prefill loop and the pipeline-parallel stage scan (parallel/pipeline.py).
-    Returns (x, (k, v)) — k/v only when with_kv."""
+    Returns (x, (k, v)) — k/v only when with_kv.
+
+    tp_axis: tensor-parallel axis name when running inside a shard_map
+    with Megatron-sharded weights (parallel/sharding.py) — attention runs
+    on this device's head slice, MLP on its ff slice; wo/down outputs are
+    partial and psum'ed here.  The per-head math is unchanged, so q/k/v
+    and the kv cache are simply the local head slices.
+    """
     B, L, _ = x.shape
     h = rms_norm(x, layer["ln1"], cfg.norm_eps)
-    q, k, v = _project_qkv(layer["attn"], h, cfg)
+    q, k, v = _project_qkv(layer["attn"], h, cfg, tp_axis=tp_axis)
     q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
     k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
     # GQA handled inside the attention op (kv never repeated in memory)
@@ -182,17 +210,21 @@ def layer_forward(layer: Dict[str, Any], cfg: DecoderConfig, x: jax.Array,
         q, k, v, doc_id, nbr_bits, sys_user_len, valid_len=valid_len,
         impl=attn_impl, block_q=block_q, block_k=block_k)
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, L, -1)
-    x = x + attn_out @ layer["attn"]["wo"]
-    x = x + _mlp(layer["mlp"], rms_norm(x, layer["ln2"], cfg.norm_eps))
+    x = x + _maybe_psum(attn_out @ layer["attn"]["wo"], tp_axis)
+    x = x + _maybe_psum(
+        _mlp(layer["mlp"], rms_norm(x, layer["ln2"], cfg.norm_eps)), tp_axis)
     return x, ((k, v) if with_kv else None)
 
 
 def make_kv_cache(cfg: DecoderConfig, batch: int, size: int,
-                  kv_dtype: str = "native") -> Dict[str, Any]:
+                  kv_dtype: str = "native",
+                  n_kv_heads: Optional[int] = None) -> Dict[str, Any]:
     """kv_dtype 'native' stores cfg.dtype; 'int8' stores int8 values with
     per-(layer, batch, head, slot) f32 scales (halved decode KV traffic,
-    ~8-bit quantization error; opt-in)."""
-    shape = (cfg.n_layers, batch, cfg.n_kv_heads, size, cfg.head_dim)
+    ~8-bit quantization error; opt-in).  n_kv_heads overrides the config
+    count for tensor-parallel shards (local kv-head slice)."""
+    shape = (cfg.n_layers, batch, n_kv_heads or cfg.n_kv_heads, size,
+             cfg.head_dim)
     if kv_dtype == "int8":
         sshape = shape[:-1]
         return {"k": jnp.zeros(shape, jnp.int8),
@@ -214,11 +246,16 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig,
             with_cache: bool = True,
             positions: Optional[jax.Array] = None,
             kv_dtype: str = "native",
+            tp_axis: Optional[str] = None,
+            logits_last_only: bool = False,
             ) -> Tuple[jax.Array, Optional[Dict[str, Any]]]:
     """Full-prompt forward.  input_ids: [B, L] right-padded.
 
     With doc metadata -> SDAG block-sparse prefill; without -> plain causal
     (doc_id all -1).  Returns (logits [B, L, V], kv cache sized cache_size).
+    logits_last_only=True unembeds only the (valid_len-1) position —
+    logits [B, 1, V] — which drops the L*V prefill matmul generation
+    doesn't need (and under TP, the [B, L, V] vocab all-gather).
     """
     B, L = input_ids.shape
     cache_size = cache_size or L
@@ -246,18 +283,23 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig,
         x, kv = layer_forward(layer, cfg, x, positions, doc_id, nbr_bits,
                               sys_user_len, valid_len, attn_impl=attn_impl,
                               block_q=block_q, block_k=block_k,
-                              with_kv=with_cache)
+                              with_kv=with_cache, tp_axis=tp_axis)
         if with_cache:
             ks.append(kv[0])
             vs.append(kv[1])
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = _unembed(params, cfg, x).astype(jnp.float32)
+    if logits_last_only:
+        x = jnp.take_along_axis(
+            x, jnp.maximum(valid_len - 1, 0)[:, None, None], axis=1)
+    logits = _unembed(params, cfg, x, tp_axis=tp_axis).astype(jnp.float32)
 
     if not with_cache:
         return logits, None
 
-    cache = make_kv_cache(cfg, B, cache_size, kv_dtype=kv_dtype)
+    # under TP the cache holds this device's local kv-head slice
+    cache = make_kv_cache(cfg, B, cache_size, kv_dtype=kv_dtype,
+                          n_kv_heads=ks[0].shape[1])
     k_stack = jnp.stack(ks)  # [n_layers, B, Hkv, L, Dh]
     v_stack = jnp.stack(vs)
     if kv_dtype == "int8":
@@ -288,6 +330,7 @@ def decode_step(params: Dict[str, Any], cfg: DecoderConfig,
                 cache: Dict[str, Any],
                 write_index,                   # scalar cache slot to write
                 cache_mask: jax.Array,        # [B, S] valid cache slots
+                tp_axis: Optional[str] = None,
                 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """One decode step.  Plain causal attention over all valid cache slots
     (reference decode semantics — no isolation after prefill).
@@ -334,11 +377,15 @@ def decode_step(params: Dict[str, Any], cfg: DecoderConfig,
                                                new_cache["k"][li],
                                                new_cache["v"][li],
                                                cache_mask)
-        x = x + (attn_out.reshape(B, 1, -1) @ layer["attn"]["wo"])
-        x = x + _mlp(layer["mlp"], rms_norm(x, layer["ln2"], cfg.norm_eps))
+        x = x + _maybe_psum(attn_out.reshape(B, 1, -1) @ layer["attn"]["wo"],
+                            tp_axis)
+        x = x + _maybe_psum(
+            _mlp(layer["mlp"], rms_norm(x, layer["ln2"], cfg.norm_eps)),
+            tp_axis)
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = _unembed(params, cfg, x)[:, 0, :].astype(jnp.float32)
+    logits = _unembed(params, cfg, x,
+                      tp_axis=tp_axis)[:, 0, :].astype(jnp.float32)
     return logits, new_cache
 
 
@@ -363,6 +410,7 @@ def decode_window(params: Dict[str, Any], cfg: DecoderConfig,
                   cache: Dict[str, Any],
                   write_slots: jax.Array,   # [B] per-row base cache slot
                   cache_mask: jax.Array,    # [B, G, S] valid slots per row
+                  tp_axis: Optional[str] = None,
                   ) -> Tuple[jax.Array, Dict[str, Any]]:
     """Speculative verification step: one forward over a G-token window.
 
@@ -397,11 +445,13 @@ def decode_window(params: Dict[str, Any], cfg: DecoderConfig,
         attn_out = masked_decode_window_attention(
             q, new_cache["k"][li], new_cache["v"][li], cache_mask)
         attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, G, -1)
-        x = x + attn_out @ layer["attn"]["wo"]
-        x = x + _mlp(layer["mlp"], rms_norm(x, layer["ln2"], cfg.norm_eps))
+        x = x + _maybe_psum(attn_out @ layer["attn"]["wo"], tp_axis)
+        x = x + _maybe_psum(
+            _mlp(layer["mlp"], rms_norm(x, layer["ln2"], cfg.norm_eps)),
+            tp_axis)
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = _unembed(params, cfg, x).astype(jnp.float32)
+    logits = _unembed(params, cfg, x, tp_axis=tp_axis).astype(jnp.float32)
     return logits, new_cache
 
 

@@ -41,7 +41,8 @@ class Generator:
                  pad_multiple: int = 128,
                  block_align: Optional[int] = None,
                  kv_cache_dtype: str = "native",
-                 speculative_draft: int = 0) -> None:
+                 speculative_draft: int = 0,
+                 tp_mesh=None, tp_axis: str = "model") -> None:
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -63,6 +64,25 @@ class Generator:
         if self.speculative_draft and kv_cache_dtype != "native":
             raise ValueError("speculative decoding requires "
                              "KV_CACHE_DTYPE='native'")
+        # Tensor-parallel generation (serving models that don't fit one
+        # chip, e.g. Llama-3.1-8B bf16 on v5e): the whole generate fn runs
+        # inside a shard_map over `tp_axis` with Megatron-sharded weights
+        # (parallel/sharding.py) — attention/MLP on local head/ff slices,
+        # psum on the two row-sharded projections, vocab-sharded lm_head
+        # all-gathered before sampling.  KV cache holds the local kv-head
+        # slice, so cache memory also divides by the axis size.
+        self.tp_mesh = tp_mesh
+        self.tp_axis = tp_axis if tp_mesh is not None else None
+        if tp_mesh is not None:
+            n = tp_mesh.shape[tp_axis]
+            if (cfg.n_heads % n or cfg.n_kv_heads % n or cfg.d_ff % n
+                    or cfg.vocab_size % n):
+                raise ValueError(
+                    f"tensor-parallel axis size {n} must divide n_heads="
+                    f"{cfg.n_heads}, n_kv_heads={cfg.n_kv_heads}, d_ff="
+                    f"{cfg.d_ff} and vocab_size={cfg.vocab_size}")
+            from sdag_tpu.parallel.sharding import shard_params
+            self.params = shard_params(params, cfg, tp_mesh)
         on_tpu = jax.default_backend() == "tpu"
         # TPU: 512-wide kernel tiles win on grid/DMA overhead.  Block-aligned
         # doc packing (block_align>0) is opt-in: for passage-sized docs the
@@ -132,6 +152,22 @@ class Generator:
             self._compiled[key] = self._build(lp, max_new)
         return self._compiled[key]
 
+    def _wrap(self, run):
+        """jit the generate fn; under tensor parallelism, shard_map it
+        over the mesh first (weights per Megatron specs, everything else
+        replicated — the psums inside make logits replicated, so the
+        sampled tokens are identical on every device)."""
+        if self.tp_mesh is None:
+            return jax.jit(run)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from sdag_tpu.parallel.sharding import decoder_param_specs
+        pspecs = decoder_param_specs(self.cfg)
+        fn = shard_map(run, mesh=self.tp_mesh,
+                       in_specs=(pspecs, P(), P(), P(), P(), P(), P()),
+                       out_specs=(P(), P()), check_vma=False)
+        return jax.jit(fn)
+
     def _build(self, lp: int, max_new: int):
         if self.speculative_draft > 0:
             return self._build_speculative(lp, max_new)
@@ -147,8 +183,8 @@ class Generator:
         # block size simply follows it.  block_align only controls doc
         # packing (sdag/spans.py), not kernel tiling.
         block = self.pad_multiple
+        tp = self.tp_axis
 
-        @jax.jit
         def run(params, input_ids, doc_id, nbr_bits, sys_user_len, valid_len,
                 key):
             batch = input_ids.shape[0]
@@ -156,9 +192,9 @@ class Generator:
                 params, cfg, input_ids, doc_id=doc_id, nbr_bits=nbr_bits,
                 sys_user_len=sys_user_len, valid_len=valid_len,
                 cache_size=cache_size, attn_impl=attn_impl,
-                block_q=block, block_k=block, kv_dtype=kv_dtype)
-            last = jnp.take_along_axis(
-                logits, (valid_len - 1)[:, None, None], axis=1)[:, 0, :]
+                block_q=block, block_k=block, kv_dtype=kv_dtype,
+                tp_axis=tp, logits_last_only=True)
+            last = logits[:, 0, :]
             key, sub = jax.random.split(key)
             cur = sample_tokens(sub, last, temperature, top_p)
 
@@ -197,7 +233,7 @@ class Generator:
                                     (slot_iota <= lp + t))
                 logits, cache = decode_step(
                     params, cfg, cur, real_len + t, cache,
-                    write_index=lp + t, cache_mask=mask)
+                    write_index=lp + t, cache_mask=mask, tp_axis=tp)
                 key, sub = jax.random.split(key)
                 nxt = sample_tokens(sub, logits, temperature, top_p)
                 cur = jnp.where(done, eos, nxt)
@@ -208,7 +244,7 @@ class Generator:
                                                              state)
             return out, lengths
 
-        return run
+        return self._wrap(run)
 
     def _build_speculative(self, lp: int, max_new: int):
         """Decode with prompt-lookup speculation.
@@ -236,8 +272,8 @@ class Generator:
         # window writes G slots starting at (lp + emitted) <= lp+max_new-1
         cache_size = lp + max_new + G
         block = self.pad_multiple
+        tp = self.tp_axis
 
-        @jax.jit
         def run(params, input_ids, doc_id, nbr_bits, sys_user_len, valid_len,
                 key):
             batch = input_ids.shape[0]
@@ -245,9 +281,9 @@ class Generator:
                 params, cfg, input_ids, doc_id=doc_id, nbr_bits=nbr_bits,
                 sys_user_len=sys_user_len, valid_len=valid_len,
                 cache_size=cache_size, attn_impl=attn_impl,
-                block_q=block, block_k=block)
-            last = jnp.take_along_axis(
-                logits, (valid_len - 1)[:, None, None], axis=1)[:, 0, :]
+                block_q=block, block_k=block, tp_axis=tp,
+                logits_last_only=True)
+            last = logits[:, 0, :]
             key, sub = jax.random.split(key)
             cur0 = sample_tokens(sub, last, temperature, top_p)
             prev0 = jnp.take_along_axis(
@@ -299,7 +335,7 @@ class Generator:
                         base[:, None, None] + iota_g[None, :, None]))
                 mask3 = hist[:, None, :] | win
                 logits, cache = decode_window(params, cfg, w, pos, cache,
-                                              base, mask3)
+                                              base, mask3, tp_axis=tp)
 
                 # ---- accept longest valid draft prefix (+ EOS/budget)
                 if temperature == 0.0:
@@ -353,4 +389,4 @@ class Generator:
                                                                 state)
             return out, lengths
 
-        return run
+        return self._wrap(run)

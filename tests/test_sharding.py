@@ -148,6 +148,43 @@ def test_ring_context_parallel_matches_single_device():
         assert ring_t <= ag_t - kv_full // 2, (ring_t, ag_t)
 
 
+def test_tp_generation_matches_single_device():
+    """Tensor-parallel generation (shard_map + Megatron-sharded weights)
+    must emit exactly the single-device greedy continuation — tied and
+    untied (vocab-sharded lm_head + all-gather) variants, basic and
+    speculative engines."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from sdag_tpu.models.llama import DecoderConfig, init_decoder_params
+    from sdag_tpu.models.tokenizer import ByteTokenizer
+    from sdag_tpu.sdag.generate import Generator
+
+    mesh = Mesh(np.array(jax.devices()[:2]), axis_names=("model",))
+    tok = ByteTokenizer()
+    ids = [np.asarray(tok.encode("abc abc abc abc"), np.int32),
+           np.asarray(tok.encode("a longer prompt with words"), np.int32)]
+    for tie in (True, False):
+        cfg = DecoderConfig(vocab_size=512, d_model=64, n_layers=2,
+                            n_heads=4, n_kv_heads=2, d_ff=128,
+                            tie_embeddings=tie)
+        params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+        g0 = Generator(params, cfg, tok, temperature=0.0)
+        g_tp = Generator(params, cfg, tok, temperature=0.0, tp_mesh=mesh)
+        a = g0.generate_ids(ids, max_new_tokens=10)
+        assert g_tp.generate_ids(ids, max_new_tokens=10) == a, tie
+        if not tie:
+            g_spec = Generator(params, cfg, tok, temperature=0.0,
+                               speculative_draft=4, tp_mesh=mesh)
+            assert g_spec.generate_ids(ids, max_new_tokens=10) == a
+    # axis size must divide the head/ff/vocab dims
+    import pytest
+    bad = DecoderConfig(vocab_size=512, d_model=64, n_layers=1, n_heads=4,
+                        n_kv_heads=1, d_ff=128)
+    with pytest.raises(ValueError):
+        Generator(init_decoder_params(jax.random.PRNGKey(1), bad), bad, tok,
+                  temperature=0.0, tp_mesh=mesh)
+
+
 def test_ring_chunk_skip_predicate_sound():
     """Soundness of the ring block-kind skip: whenever ``chunk_needed`` is
     False for a (q shard, k chunk) pair, the exact ``_tile_mask`` over
