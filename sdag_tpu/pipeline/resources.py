@@ -73,12 +73,13 @@ def build_generator(cfg: Config) -> Generator:
         params = init_decoder_params(jax.random.PRNGKey(cfg.SEED + 1),
                                      dec_cfg)
     tp_mesh = None
-    if cfg.MESH_MODEL > 1:
-        # tensor-parallel serving: shard the generator over the 'model'
-        # axis (required for models that don't fit one chip, e.g.
-        # Llama-3.1-8B bf16 on v5e)
+    if cfg.MESH_MODEL > 1 or cfg.MESH_DATA > 1:
+        # sharded serving: 'model' = tensor parallelism (required for
+        # models that don't fit one chip, e.g. Llama-3.1-8B bf16 on
+        # v5e); 'data' = batch sharding composed on top
         from sdag_tpu.core.mesh import make_mesh
-        tp_mesh = make_mesh(data=1, model=cfg.MESH_MODEL)
+        tp_mesh = make_mesh(data=max(cfg.MESH_DATA, 1),
+                            model=max(cfg.MESH_MODEL, 1))
     return Generator(params, dec_cfg, tok, temperature=cfg.TEMPERATURE,
                      top_p=cfg.TOP_P, seed=cfg.SEED,
                      kv_cache_dtype=cfg.KV_CACHE_DTYPE,

@@ -73,6 +73,13 @@ class Generator:
         # slice, so cache memory also divides by the axis size.
         self.tp_mesh = tp_mesh
         self.tp_axis = tp_axis if tp_mesh is not None else None
+        # batch (data-parallel) sharding composes with TP when the mesh
+        # has a >1 'data' axis: rows split across data groups, each group
+        # runs TP over its model slice.  Sampling keys are fold_in'ed
+        # with the data index so shards draw independent randomness.
+        self.dp_axis = ("data" if tp_mesh is not None
+                        and "data" in tp_mesh.shape
+                        and tp_mesh.shape["data"] > 1 else None)
         if tp_mesh is not None:
             n = tp_mesh.shape[tp_axis]
             if (cfg.n_heads % n or cfg.n_kv_heads % n or cfg.d_ff % n
@@ -125,13 +132,24 @@ class Generator:
     def _run(self, ids: Sequence[np.ndarray], doc_id, nbr_bits, sys_user_len,
              lp: int, max_new_tokens: int) -> List[str]:
         b = len(ids)
-        batch_ids = np.full((b, lp), self.tokenizer.pad_token_id, np.int32)
-        valid_len = np.zeros((b,), np.int32)
+        # under data parallelism the batch must divide the 'data' axis;
+        # pad with inert single-token rows and trim their outputs
+        dp_n = self.tp_mesh.shape["data"] if self.dp_axis else 1
+        bp = _round_up(b, dp_n)
+        batch_ids = np.full((bp, lp), self.tokenizer.pad_token_id, np.int32)
+        valid_len = np.ones((bp,), np.int32)
         for i, x in enumerate(ids):
             batch_ids[i, :len(x)] = x
             valid_len[i] = len(x)
+        if bp != b:
+            doc_id = np.concatenate(
+                [doc_id, np.full((bp - b, lp), -1, np.int32)])
+            nbr_bits = np.concatenate(
+                [nbr_bits, np.zeros((bp - b, lp), np.int32)])
+            sys_user_len = np.concatenate(
+                [sys_user_len, np.zeros((bp - b,), np.int32)])
 
-        fn = self._get_compiled(b, lp, max_new_tokens)
+        fn = self._get_compiled(bp, lp, max_new_tokens)
         self._key, sub = jax.random.split(self._key)
         out, lengths = fn(self.params, jnp.asarray(batch_ids),
                           jnp.asarray(doc_id), jnp.asarray(nbr_bits),
@@ -154,19 +172,29 @@ class Generator:
 
     def _wrap(self, run):
         """jit the generate fn; under tensor parallelism, shard_map it
-        over the mesh first (weights per Megatron specs, everything else
-        replicated — the psums inside make logits replicated, so the
-        sampled tokens are identical on every device)."""
+        over the mesh first (weights per Megatron specs, batch rows over
+        the 'data' axis when present, everything else replicated — the
+        psums inside make logits replicated within a data group, so the
+        sampled tokens are identical on every device of the group)."""
         if self.tp_mesh is None:
             return jax.jit(run)
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
         from sdag_tpu.parallel.sharding import decoder_param_specs
         pspecs = decoder_param_specs(self.cfg)
+        dp = self.dp_axis
+        row = P(dp, None) if dp else P()
+        vec = P(dp) if dp else P()
         fn = shard_map(run, mesh=self.tp_mesh,
-                       in_specs=(pspecs, P(), P(), P(), P(), P(), P()),
-                       out_specs=(P(), P()), check_vma=False)
+                       in_specs=(pspecs, row, row, row, vec, vec, P()),
+                       out_specs=(row, vec), check_vma=False)
         return jax.jit(fn)
+
+    def _dp_key(self, key):
+        """Inside the shard_map: decorrelate sampling across data groups."""
+        if self.dp_axis is None:
+            return key
+        return jax.random.fold_in(key, jax.lax.axis_index(self.dp_axis))
 
     def _build(self, lp: int, max_new: int):
         if self.speculative_draft > 0:
@@ -187,6 +215,7 @@ class Generator:
 
         def run(params, input_ids, doc_id, nbr_bits, sys_user_len, valid_len,
                 key):
+            key = self._dp_key(key)
             batch = input_ids.shape[0]
             logits, cache = prefill(
                 params, cfg, input_ids, doc_id=doc_id, nbr_bits=nbr_bits,
@@ -276,6 +305,7 @@ class Generator:
 
         def run(params, input_ids, doc_id, nbr_bits, sys_user_len, valid_len,
                 key):
+            key = self._dp_key(key)
             batch = input_ids.shape[0]
             logits, cache = prefill(
                 params, cfg, input_ids, doc_id=doc_id, nbr_bits=nbr_bits,

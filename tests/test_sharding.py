@@ -185,6 +185,35 @@ def test_tp_generation_matches_single_device():
                   temperature=0.0, tp_mesh=mesh)
 
 
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 devices")
+def test_dp_tp_generation_matches_single_device():
+    """Composed batch (data) x tensor (model) parallel generation over a
+    2x2 mesh == single-device, including a batch that needs padding to
+    the data-axis multiple."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from sdag_tpu.models.llama import DecoderConfig, init_decoder_params
+    from sdag_tpu.models.tokenizer import ByteTokenizer
+    from sdag_tpu.sdag.generate import Generator
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                axis_names=("data", "model"))
+    cfg = DecoderConfig(vocab_size=512, d_model=64, n_layers=2, n_heads=4,
+                        n_kv_heads=2, d_ff=128, tie_embeddings=False)
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    g0 = Generator(params, cfg, tok, temperature=0.0)
+    g_dp = Generator(params, cfg, tok, temperature=0.0, tp_mesh=mesh)
+    assert g_dp.dp_axis == "data"
+    ids4 = [np.asarray(tok.encode(t), np.int32)
+            for t in ("abc abc abc", "xy", "hello world", "zzz zzz")]
+    assert g_dp.generate_ids(ids4, max_new_tokens=8) == \
+        g0.generate_ids(ids4, max_new_tokens=8)
+    # odd batch -> padded to the data-axis multiple, outputs trimmed
+    assert g_dp.generate_ids(ids4[:3], max_new_tokens=8) == \
+        g0.generate_ids(ids4[:3], max_new_tokens=8)
+
+
 def test_ring_chunk_skip_predicate_sound():
     """Soundness of the ring block-kind skip: whenever ``chunk_needed`` is
     False for a (q shard, k chunk) pair, the exact ``_tile_mask`` over
