@@ -346,12 +346,13 @@ def main() -> None:
     # forwards; vs_baseline = tok/s ceiling at full acceptance relative to
     # plain decode at the same batch (actual speedup = (1+E[accepted]) /
     # window overhead at the workload's draft acceptance)
-    r = safe("spec_g4_b1", lambda: bench_decode.run_speculative(
-        batch=1, prompt=1024, g=4, steps=32, iters=2))
-    if r and decode_tok_s.get(1):
-        _emit("speculative_decode_tok_s_g4_fullaccept_b1",
-              r["tok_s_fullaccept"], "tok/s",
-              r["tok_s_fullaccept"] / decode_tok_s[1])
+    for g in (4, 8):
+        r = safe(f"spec_g{g}_b1", lambda g=g: bench_decode.run_speculative(
+            batch=1, prompt=1024, g=g, steps=32, iters=2))
+        if r and decode_tok_s.get(1):
+            _emit(f"speculative_decode_tok_s_g{g}_fullaccept_b1",
+                  r["tok_s_fullaccept"], "tok/s",
+                  r["tok_s_fullaccept"] / decode_tok_s[1])
 
     # ---- encoder throughput
     r = safe("e5_encode", bench_e5_encode)
