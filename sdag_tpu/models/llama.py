@@ -141,11 +141,10 @@ def rope(x: jax.Array, positions: jax.Array, theta: float,
 
 
 def _project_qkv(attn: Dict[str, jax.Array], x: jax.Array,
-                 cfg: DecoderConfig, tp_axis: Optional[str] = None):
+                 cfg: DecoderConfig):
     """Head counts are inferred from the weight shapes, so under tensor
     parallelism (head-sharded wq/wk/wv inside shard_map) this yields the
     device's local head slice with no code change."""
-    del tp_axis  # sharding is carried entirely by the weight shapes
     B, L, _ = x.shape
     hd = cfg.head_dim
     q = x @ attn["wq"]
@@ -202,7 +201,7 @@ def layer_forward(layer: Dict[str, Any], cfg: DecoderConfig, x: jax.Array,
     """
     B, L, _ = x.shape
     h = rms_norm(x, layer["ln1"], cfg.norm_eps)
-    q, k, v = _project_qkv(layer["attn"], h, cfg, tp_axis=tp_axis)
+    q, k, v = _project_qkv(layer["attn"], h, cfg)
     q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
     k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
     # GQA handled inside the attention op (kv never repeated in memory)

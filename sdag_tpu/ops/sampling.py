@@ -58,27 +58,30 @@ def sample_tokens(key: jax.Array, logits: jax.Array,
     # True probabilities: normalize by the FULL-vocab partition function —
     # softmax over the top-k alone inflates the CDF and narrows the kept
     # set relative to the exact filter.
-    logz = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
-    probs = jnp.exp(vals - logz)
-    cum = jnp.cumsum(probs, axis=-1)
-    keep = (cum - probs) < top_p                   # rank 0 always kept
-    vals = jnp.where(keep, vals, -jnp.inf)
+    vals, idx = _nucleus_vals_idx(logits, top_p, kk, presorted=(vals, idx))
     choice = jax.random.categorical(key, vals, axis=-1)
     return jnp.take_along_axis(idx, choice[..., None],
                                axis=-1)[..., 0].astype(jnp.int32)
 
 
-def _nucleus_vals_idx(logits: jax.Array, top_p: float, nucleus_topk: int):
+def _nucleus_vals_idx(logits: jax.Array, top_p: float, nucleus_topk: int,
+                      presorted=None):
     """Shared bounded-nucleus candidate set: (vals, idx) of the top-k
-    logits with outside-nucleus entries masked to -inf — exactly the
-    candidate set ``sample_tokens`` draws from (same keep rule, full-vocab
-    partition function for the CDF)."""
-    kk = min(nucleus_topk, logits.shape[-1])
-    vals, idx = jax.lax.top_k(logits, kk)
+    logits with outside-nucleus entries masked to -inf — THE candidate
+    set every sampler here draws from (same keep rule, full-vocab
+    partition function for the CDF).  Single source of the rule:
+    ``sample_tokens`` and the speculative accept/residual pair
+    (``draft_accept_probs`` / ``sample_excluding``) must stay
+    distribution-identical."""
+    if presorted is not None:
+        vals, idx = presorted
+    else:
+        kk = min(nucleus_topk, logits.shape[-1])
+        vals, idx = jax.lax.top_k(logits, kk)
     logz = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
     probs = jnp.exp(vals - logz)
     cum = jnp.cumsum(probs, axis=-1)
-    keep = (cum - probs) < top_p
+    keep = (cum - probs) < top_p                   # rank 0 always kept
     return jnp.where(keep, vals, -jnp.inf), idx
 
 

@@ -78,7 +78,9 @@ def build_generator(cfg: Config) -> Generator:
         # models that don't fit one chip, e.g. Llama-3.1-8B bf16 on
         # v5e); 'data' = batch sharding composed on top
         from sdag_tpu.core.mesh import make_mesh
-        tp_mesh = make_mesh(data=max(cfg.MESH_DATA, 1),
+        # MESH_DATA=0 keeps its documented "fill with all remaining
+        # devices" semantics (make_mesh)
+        tp_mesh = make_mesh(data=cfg.MESH_DATA,
                             model=max(cfg.MESH_MODEL, 1))
     return Generator(params, dec_cfg, tok, temperature=cfg.TEMPERATURE,
                      top_p=cfg.TOP_P, seed=cfg.SEED,

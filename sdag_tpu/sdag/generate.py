@@ -46,7 +46,9 @@ class Generator:
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
-        self.temperature = float(temperature)
+        # sample_tokens treats temperature <= 0 as greedy; clamp here so
+        # the speculative engine's `temperature == 0` branches agree
+        self.temperature = max(float(temperature), 0.0)
         self.top_p = float(top_p)
         self.attn_impl = attn_impl
         # 'int8' halves decode KV HBM traffic (per-slot scales; opt-in,
@@ -82,12 +84,15 @@ class Generator:
                         and tp_mesh.shape["data"] > 1 else None)
         if tp_mesh is not None:
             n = tp_mesh.shape[tp_axis]
+            # tied embeddings are replicated, so vocab needn't divide
+            vocab_ok = cfg.tie_embeddings or cfg.vocab_size % n == 0
             if (cfg.n_heads % n or cfg.n_kv_heads % n or cfg.d_ff % n
-                    or cfg.vocab_size % n):
+                    or not vocab_ok):
                 raise ValueError(
                     f"tensor-parallel axis size {n} must divide n_heads="
                     f"{cfg.n_heads}, n_kv_heads={cfg.n_kv_heads}, d_ff="
-                    f"{cfg.d_ff} and vocab_size={cfg.vocab_size}")
+                    f"{cfg.d_ff} (and vocab_size={cfg.vocab_size} when "
+                    "lm_head is untied)")
             from sdag_tpu.parallel.sharding import shard_params
             self.params = shard_params(params, cfg, tp_mesh)
         on_tpu = jax.default_backend() == "tpu"
