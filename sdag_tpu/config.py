@@ -49,8 +49,13 @@ class Config:
     META_JSONL_PATH: str = "docs_meta.jsonl"
     # HBM storage dtype for the embedding matrix: float32 | bfloat16 | int8.
     # bf16 halves bandwidth at exact recall parity (bench.py gates this);
-    # int8 (per-row scales) quarters it at ~0.98 recall@10 (approximate).
+    # int8 (per-row scales) quarters the *scan* traffic.  With
+    # DENSE_INT8_RESCORE (default) an int8 residual is kept alongside and
+    # approx-mode candidates are rescored at ~15-bit precision: recall@10
+    # ~1.0 at int8-scan speed, total HBM = bf16.  Rescore off: pure int8,
+    # 1/4 HBM, recall@10 ~0.98 (approximate).
     DENSE_INDEX_DTYPE: str = "float32"
+    DENSE_INT8_RESCORE: bool = True
     # Search algorithm: "approx" = matmul + lax.approx_max_k two-stage
     # (TPU PartialReduce, ~2.2x the fused kernel's QPS at >=0.99 recall@10;
     # exact fallback off-TPU); "exact" = fused Pallas kernel with exact
@@ -97,6 +102,10 @@ class Config:
     SPARSE_INDEX_NAME_OR_PATH: str = ""
     BM25_K1: float = 0.9
     BM25_B: float = 0.4
+    # "postings": device CSR postings walk, O(sum df) like Lucene itself
+    # (default); "scan": Pallas dense-scan kernel, O(N*Lp) — insensitive
+    # to term rarity, useful when one term's df ~ N.
+    BM25_ENGINE: str = "postings"
 
     # --- defense -----------------------------------------------------------
     DEFENSE_BACKEND: str = "none"      # none | ragdefender | discern_and_answer
@@ -145,6 +154,8 @@ class Config:
             raise ValueError(f"Unknown ATTACK_VARIANT: {self.ATTACK_VARIANT}")
         if self.KV_CACHE_DTYPE not in {"native", "int8"}:
             raise ValueError(f"Unknown KV_CACHE_DTYPE: {self.KV_CACHE_DTYPE}")
+        if self.BM25_ENGINE not in {"postings", "scan"}:
+            raise ValueError(f"Unknown BM25_ENGINE: {self.BM25_ENGINE}")
         if self.DENSE_SEARCH_MODE not in {"approx", "exact"}:
             raise ValueError(
                 f"Unknown DENSE_SEARCH_MODE: {self.DENSE_SEARCH_MODE}")

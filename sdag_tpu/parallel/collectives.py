@@ -20,14 +20,14 @@ from jax import shard_map
 
 from sdag_tpu.ops.topk import (approx_topk_matmul_int8,
                                fused_topk_matmul_int8, merge_topk,
-                               topk_search)
+                               rescored_topk_int8, topk_search)
 
 
 def sharded_topk_search(queries: jax.Array, corpus: jax.Array, k: int,
                         valid_n: int, mesh: Mesh, axis: str = "index",
                         use_pallas: bool | None = None,
                         block_n: int = 1024, scales=None,
-                        mode: str = "exact"
+                        mode: str = "exact", resid=None, resid_scales=None
                         ) -> Tuple[jax.Array, jax.Array]:
     """Top-k over a row-sharded corpus.
 
@@ -69,6 +69,25 @@ def sharded_topk_search(queries: jax.Array, corpus: jax.Array, k: int,
             check_vma=False,
         )
         return fn(queries, corpus)
+
+    if resid is not None and mode == "approx":
+        # int8 + residual rescore per shard (recall ~1.0 at int8-scan cost)
+        def local_search_i8r(q, c_shard, s_shard, r_shard, rs_shard):
+            shard_id = jax.lax.axis_index(axis)
+            row0 = shard_id * shard_rows
+            local_valid = jnp.clip(valid_n - row0, 0, shard_rows)
+            vals, idx = rescored_topk_int8(q, c_shard, s_shard, r_shard,
+                                           rs_shard, k,
+                                           valid_n=local_valid)
+            return finish(vals, idx, row0)
+
+        fn = shard_map(
+            local_search_i8r, mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(queries, corpus, scales, resid, resid_scales)
 
     def local_search_i8(q, c_shard, s_shard):
         shard_id = jax.lax.axis_index(axis)
@@ -134,6 +153,43 @@ def sharded_bm25_topk(term_ids: jax.Array, impacts: jax.Array,
                    out_specs=(P(), P()),
                    check_vma=False)
     return fn(q_terms, q_weights, term_ids, impacts)
+
+
+def sharded_bm25_postings_topk(post_docs: jax.Array, post_imps: jax.Array,
+                               offsets: jax.Array, q_terms: jax.Array,
+                               q_weights: jax.Array, k: int, w_max: int,
+                               mesh: Mesh, rows_per_shard: int,
+                               window: int = 512, axis: str = "index"
+                               ) -> Tuple[jax.Array, jax.Array]:
+    """Exact BM25 top-k over per-shard CSR postings (the O(sum df)
+    engine): each shard owns the postings of its doc-row block with LOCAL
+    doc ids, runs ``bm25_postings_topk``, maps ids to global with its row
+    offset, and candidates are all-gathered + merged like the dense path.
+
+    post_docs/post_imps: [n_shards, P_pad] row-sharded; offsets:
+    [n_shards, V+1] row-sharded; shard s covers global doc rows
+    [s*rows_per_shard, (s+1)*rows_per_shard) — uniform by construction
+    (BM25Index pads N to a multiple of n_shards*block_n).
+    """
+    from sdag_tpu.ops.bm25 import bm25_postings_topk
+
+    def local(qt, qw, docs, imps, offs):
+        vals, idx = bm25_postings_topk(docs[0], imps[0], offs[0], qt, qw,
+                                       k, w_max=w_max, window=window)
+        shard_id = jax.lax.axis_index(axis)
+        row0 = shard_id * rows_per_shard
+        gidx = jnp.where(idx >= 0, idx + row0, jnp.iinfo(jnp.int32).max)
+        gvals = jnp.where(idx >= 0, vals, -jnp.inf)
+        vals_all = jax.lax.all_gather(gvals, axis, axis=1, tiled=True)
+        gidx_all = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
+        mv, mi = merge_topk(vals_all, gidx_all, k)
+        return mv, jnp.where(jnp.isneginf(mv), -1, mi)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+                   out_specs=(P(), P()),
+                   check_vma=False)
+    return fn(q_terms, q_weights, post_docs, post_imps, offsets)
 
 
 @partial(jax.jit, static_argnames=("axis_name",))

@@ -111,7 +111,8 @@ def init_resources(cfg: Config) -> Resources:
             dense_index = DenseIndex.load(cfg.DENSE_INDEX_PATH, mesh=mesh,
                                           meta_path=meta_path,
                                           dtype=idx_dtype,
-                                          search_mode=cfg.DENSE_SEARCH_MODE)
+                                          search_mode=cfg.DENSE_SEARCH_MODE,
+                                          int8_rescore=cfg.DENSE_INT8_RESCORE)
         elif cfg.CORPUS_JSONL_PATH:
             print("[resources] building dense index from corpus "
                   f"{cfg.CORPUS_JSONL_PATH}")
@@ -119,7 +120,8 @@ def init_resources(cfg: Config) -> Resources:
             dense_index = DenseIndex.from_texts(
                 texts, ids, encoder, mesh=mesh,
                 batch_size=cfg.BATCH_SIZE_EMBED_Q, dtype=idx_dtype,
-                search_mode=cfg.DENSE_SEARCH_MODE)
+                search_mode=cfg.DENSE_SEARCH_MODE,
+                int8_rescore=cfg.DENSE_INT8_RESCORE)
             if cfg.DENSE_INDEX_PATH:
                 dense_index.save(cfg.DENSE_INDEX_PATH)
         else:
@@ -131,13 +133,14 @@ def init_resources(cfg: Config) -> Resources:
         sp = cfg.SPARSE_INDEX_NAME_OR_PATH
         if sp and os.path.isdir(sp):
             print(f"[resources] loading sparse index: {sp}")
-            sparse_index = BM25Index.load(sp)
+            sparse_index = BM25Index.load(sp, engine=cfg.BM25_ENGINE)
         elif cfg.CORPUS_JSONL_PATH:
             print("[resources] building BM25 index from corpus "
                   f"{cfg.CORPUS_JSONL_PATH}")
             texts, ids = load_corpus_jsonl(cfg.CORPUS_JSONL_PATH)
             sparse_index = BM25Index.from_texts(texts, ids, k1=cfg.BM25_K1,
-                                                b=cfg.BM25_B)
+                                                b=cfg.BM25_B,
+                                                engine=cfg.BM25_ENGINE)
             if sp:
                 sparse_index.save(sp)
         else:
