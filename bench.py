@@ -242,14 +242,23 @@ def bench_bm25(iters: int = 20):
     import jax
     import jax.numpy as jnp
 
-    from sdag_tpu.ops.bm25 import bm25_topk
+    from sdag_tpu.ops.bm25 import PAD_TERM, bm25_postings_topk, bm25_topk
+    from sdag_tpu.retrieval.sparse import _csr_from_packed
 
     rng = np.random.default_rng(1)
     # Q=32: the impact-scoring kernel's per-tile hit tensor is [Q, block_n,
     # Lp] in VMEM, sized for retrieval-batch-sized query blocks
     N, T, V, Q, QT, K = 100_000, 128, 50_000, 32, 8, 10
     term_ids = rng.integers(0, V, (N, T)).astype(np.int32)
+    # CSR postings assume distinct terms per doc (the packed builder
+    # aggregates tf per term) — dedupe row-internal repeats to PAD
+    srt = np.sort(term_ids, axis=1)
+    dup_rows, dup_cols = np.where(srt[:, 1:] == srt[:, :-1])
+    for r, c in zip(dup_rows, dup_cols):
+        hits = np.where(term_ids[r] == srt[r, c + 1])[0]
+        term_ids[r, hits[1:]] = PAD_TERM
     impacts = rng.random((N, T)).astype(np.float32) * 4.0
+    impacts[term_ids == PAD_TERM] = 0.0
     q_terms = rng.integers(0, V, (Q, QT)).astype(np.int32)
     q_weights = np.ones((Q, QT), np.float32)
 
@@ -265,6 +274,25 @@ def bench_bm25(iters: int = 20):
 
     dt = _device_time(loop, tj, ij, qj, wj) / iters
     tpu_qps = Q / dt
+
+    # postings (CSR) engine — the production default (BM25_ENGINE)
+    docs, imps, offsets, max_df = _csr_from_packed(term_ids, impacts, V)
+    window = 512
+    w_max = -(-max_df // window)
+    dj = jnp.asarray(docs)
+    pj = jnp.asarray(imps)
+    oj = jnp.asarray(offsets)
+
+    @jax.jit
+    def loop_post(dj, pj, oj, qj, wj):
+        def body(i, acc):
+            vals, _ = bm25_postings_topk(dj, pj, oj, qj, wj + acc * 1e-9,
+                                         K, w_max=w_max, window=window)
+            return acc + vals[0, 0]
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    dt_post = _device_time(loop_post, dj, pj, oj, qj, wj) / iters
+    post_qps = Q / dt_post
 
     # host baseline: inverted-index accumulate (Lucene-equivalent work).
     # Postings built once via a single sort of the flat (term, doc, impact)
@@ -289,7 +317,7 @@ def bench_bm25(iters: int = 20):
         idx = np.argpartition(-scores, K)[:K]
         scores[idx]
     cpu_qps = nq / max(time.time() - t0, 1e-9)
-    return tpu_qps, cpu_qps
+    return tpu_qps, cpu_qps, post_qps
 
 
 def _emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
@@ -368,9 +396,11 @@ def main() -> None:
     # ---- BM25
     r = safe("bm25", bench_bm25)
     if r:
-        tpu_qps, cpu_qps = r
-        _emit("bm25_qps_n100k_t128_k10", tpu_qps, "qps/chip",
+        tpu_qps, cpu_qps, post_qps = r
+        _emit("bm25_qps_scan_kernel_n100k_t128_k10", tpu_qps, "qps/chip",
               tpu_qps / cpu_qps)
+        _emit("bm25_qps_n100k_t128_k10", post_qps, "qps/chip",
+              post_qps / cpu_qps)
 
     # ---- dense retrieval (headline LAST)
     rng = np.random.default_rng(0)
@@ -427,6 +457,39 @@ def main() -> None:
               i8[0] / cpu_qps)
         _emit("dense_recall_at10_int8_approx", i8[1], "recall",
               i8[1] / 0.99)
+
+    def bench_int8_rescore():
+        import jax
+        import jax.numpy as jnp
+
+        from sdag_tpu.ops.topk import (quantize_rows_int8_residual,
+                                       rescored_topk_int8)
+        b, sb, rv, sr = quantize_rows_int8_residual(c)
+        qj, bj, sbj, rj, srj = map(jnp.asarray, (q, b, sb, rv, sr))
+
+        @jax.jit
+        def loop(qj, bj, sbj, rj, srj):
+            def body(t, acc):
+                v, _ = rescored_topk_int8(qj + acc * 1e-9 + t * 1e-6,
+                                          bj, sbj, rj, srj, K)
+                return acc + v[0, 0]
+            return jax.lax.fori_loop(0, 50, body, 0.0)
+
+        dt = _device_time(loop, qj, bj, sbj, rj, srj) / 50
+        _, i = rescored_topk_int8(qj, bj, sbj, rj, srj, 10)
+        i = np.asarray(i)
+        rec = float(np.mean([len(set(i[r]) & set(exact[r])) / 10
+                             for r in range(q.shape[0])]))
+        return q.shape[0] / dt, rec
+
+    # int8 base scan + int8-residual candidate rescore (DENSE_INDEX_DTYPE=
+    # int8, default DENSE_INT8_RESCORE): recall ~1.0 at int8-scan speed
+    i8r = safe("dense_int8_rescore", bench_int8_rescore)
+    if i8r:
+        _emit("dense_retrieval_qps_int8_rescored", i8r[0], "qps/chip",
+              i8r[0] / cpu_qps)
+        _emit("dense_recall_at10_int8_rescored", i8r[1], "recall",
+              i8r[1] / 0.99)
 
     # production default: bf16 corpus + approx_max_k two-stage (HEADLINE)
     bf16 = safe("dense_bf16",

@@ -120,7 +120,7 @@ def prepare(workdir: str, sample_size: int, dataset: str) -> None:
 def run_one(workdir: str, out_root: str, strategy: str,
             sample_size: int, dataset: str, defense: str = "none",
             attack_variant: str = "malicious_doc",
-            kv_dtype: str = "native") -> dict:
+            kv_dtype: str = "native", retriever: str = "dense") -> dict:
     tag = f"{dataset}{sample_size}_{strategy}"
     if defense != "none":
         tag += f"_{defense}"
@@ -128,6 +128,8 @@ def run_one(workdir: str, out_root: str, strategy: str,
         tag += f"_{attack_variant}"
     if kv_dtype != "native":
         tag += f"_kv{kv_dtype}"
+    if retriever != "dense":
+        tag += f"_{retriever}"
     out_dir = os.path.join(out_root, tag)
     os.makedirs(out_dir, exist_ok=True)
     cfg = {
@@ -140,11 +142,13 @@ def run_one(workdir: str, out_root: str, strategy: str,
         "ATTACK_VARIANT": attack_variant,
         "KV_CACHE_DTYPE": kv_dtype,
         "DEFENSE_BACKEND": defense,
-        "RETRIEVER_BACKEND": "dense",
+        "RETRIEVER_BACKEND": retriever,
         "DENSE_INDEX_DTYPE": "bfloat16",
         "CSV_INPUT_PATH": os.path.join(workdir, "attack.csv"),
         "CORPUS_JSONL_PATH": os.path.join(workdir, "corpus.jsonl"),
         "DENSE_INDEX_PATH": os.path.join(workdir, "dense.index"),
+        "SPARSE_INDEX_NAME_OR_PATH": os.path.join(workdir, "bm25.index")
+        if retriever in ("sparse", "sparse_and_dense") else "",
         "OUTPUT_CSV_BASE": os.path.join(out_dir, "results"),
         "LLM_BATCH_SIZE": 8,
         "BATCH_SIZE_EMBED_Q": 64,
@@ -194,6 +198,8 @@ def main() -> None:
                     choices=["malicious_doc", "doc_corruption"])
     ap.add_argument("--kv-dtype", default="native",
                     choices=["native", "int8"])
+    ap.add_argument("--retriever", default="dense",
+                    choices=["dense", "sparse", "sparse_and_dense"])
     args = ap.parse_args()
 
     if args.attack_variant == "doc_corruption" and len(args.strategies) > 1:
@@ -208,13 +214,16 @@ def main() -> None:
         summary.append(run_one(workdir, args.out, s, args.sample_size,
                                args.dataset, defense=args.defense,
                                attack_variant=args.attack_variant,
-                               kv_dtype=args.kv_dtype))
+                               kv_dtype=args.kv_dtype,
+                               retriever=args.retriever))
     suffix = args.dataset if args.defense == "none" \
         else f"{args.dataset}_{args.defense}"
     if args.attack_variant != "malicious_doc":
         suffix += f"_{args.attack_variant}"
     if args.kv_dtype != "native":
         suffix += f"_kv{args.kv_dtype}"
+    if args.retriever != "dense":
+        suffix += f"_{args.retriever}"
     sp = os.path.join(args.out, f"summary_{suffix}.json")
     with open(sp, "w") as f:
         json.dump(summary, f, indent=1)

@@ -198,3 +198,83 @@ def bm25_topk_dispatch(term_ids, impacts, q_terms, q_weights, k,
         scores = jnp.where(col < valid_n, scores, NEG_INF)
     vals, idx = jax.lax.top_k(scores, k)
     return vals, idx.astype(jnp.int32)
+
+
+# ------------------------------------------------- postings (CSR) engine
+#
+# The dense-scan kernel above compares every doc term against every query
+# term: O(N * Lp * T) VPU work per query batch, independent of how rare the
+# query terms are.  Lucene itself never does that — it walks the postings
+# lists of the query's terms, O(sum df(t)).  This engine is the TPU-native
+# restatement of that walk (reference: Pyserini/Lucene search,
+# ``src/pipeline/retrieval/sparse.py:36-108``):
+#
+#   * postings live in HBM as CSR: docs [P] / impacts [P] ordered by term,
+#     offsets [V+1] — the same triples Lucene keeps per segment;
+#   * each query term's list is read with W windowed contiguous gathers of
+#     S entries (W = ceil(max_df / S), static);
+#   * per-doc totals are formed WITHOUT scatter (TPU scatter-add is
+#     serial): candidates are sorted by doc id, and since a doc can appear
+#     at most once per query term, a run has length <= T — T static shifted
+#     adds collapse each run onto its first element;
+#   * lax.top_k over run totals; sorted-by-doc order makes equal scores
+#     resolve to the smaller doc id — the same (score desc, id asc)
+#     tie-break as the scan kernel.
+#
+# Exact for every doc (no truncation): W covers the global max df.
+
+_DOC_SENTINEL = jnp.iinfo(jnp.int32).max
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w_max", "window"))
+def bm25_postings_topk(post_docs: jax.Array, post_imps: jax.Array,
+                       offsets: jax.Array, q_terms: jax.Array,
+                       q_weights: jax.Array, k: int, w_max: int,
+                       window: int = 512
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Exact BM25 top-k via device CSR postings.
+
+    post_docs/post_imps: [P_pad] int32/f32 (term-major CSR, padded);
+    offsets: [V+1] int32; q_terms: [Q, T] (PAD_TERM padded);
+    q_weights: [Q, T] f32 (term multiplicity); w_max*window >= max df.
+    Returns (scores [Q, k], doc ids [Q, k]); empty slots are (-inf, -1).
+    """
+    qn, t = q_terms.shape
+    p_pad = post_docs.shape[0]
+    safe_t = jnp.clip(q_terms, 0, offsets.shape[0] - 2)
+    starts = offsets[safe_t]                      # [Q, T]
+    lens = offsets[safe_t + 1] - starts
+    lens = jnp.where(q_terms == PAD_TERM, 0, lens)
+
+    # windowed contiguous gathers: positions [Q, T, W*S]
+    span = jax.lax.iota(jnp.int32, w_max * window)
+    pos = starts[:, :, None] + span[None, None, :]
+    valid = span[None, None, :] < lens[:, :, None]
+    pos = jnp.clip(pos, 0, p_pad - 1)
+    docs = jnp.where(valid, post_docs[pos], _DOC_SENTINEL)
+    contrib = jnp.where(valid, post_imps[pos] * q_weights[:, :, None], 0.0)
+
+    m = t * w_max * window
+    docs = docs.reshape(qn, m)
+    contrib = contrib.reshape(qn, m).astype(jnp.float32)
+
+    # sort candidates by doc id (payload: contrib); stable so the
+    # float-add order within a run is deterministic
+    docs_s, contrib_s = jax.lax.sort((docs, contrib), dimension=1,
+                                     num_keys=1, is_stable=True)
+    # collapse runs (length <= T) onto their first element
+    total = contrib_s
+    for j in range(1, min(t, m)):
+        same = jax.lax.slice_in_dim(docs_s, j, m, axis=1) == \
+            jax.lax.slice_in_dim(docs_s, 0, m - j, axis=1)
+        shifted = jax.lax.slice_in_dim(contrib_s, j, m, axis=1)
+        total = total.at[:, : m - j].add(jnp.where(same, shifted, 0.0))
+    is_start = jnp.concatenate(
+        [jnp.ones((qn, 1), bool),
+         docs_s[:, 1:] != docs_s[:, :-1]], axis=1)
+    run_scores = jnp.where(is_start & (docs_s != _DOC_SENTINEL),
+                           total, NEG_INF)
+    vals, posk = jax.lax.top_k(run_scores, k)
+    idx = jnp.take_along_axis(docs_s, posk, axis=1)
+    idx = jnp.where(jnp.isneginf(vals), -1, idx)
+    return vals, jnp.where(idx == _DOC_SENTINEL, -1, idx)

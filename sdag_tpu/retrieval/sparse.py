@@ -19,13 +19,36 @@ import numpy as np
 
 from sdag_tpu.core.mesh import make_index_mesh, shard_rows
 from sdag_tpu.datamodels import RetrievalBatch
-from sdag_tpu.ops.bm25 import PAD_TERM, bm25_topk_dispatch
+from sdag_tpu.ops.bm25 import (PAD_TERM, bm25_postings_topk,
+                               bm25_topk_dispatch)
 from sdag_tpu.retrieval.analyzer import analyze_texts
 from sdag_tpu.retrieval.retriever import Retriever
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _csr_from_packed(term_ids: np.ndarray, impacts: np.ndarray,
+                     n_vocab: int):
+    """Host build of term-major CSR postings from the packed [N, Lp]
+    representation: (docs [P], imps [P], offsets [V+1], max_df).  Stable
+    sort by term keeps docs ascending within each term (row-major input)."""
+    n, lp = term_ids.shape
+    flat_t = term_ids.ravel()
+    mask = flat_t != PAD_TERM
+    flat_t = flat_t[mask]
+    flat_i = impacts.ravel()[mask]
+    flat_d = np.repeat(np.arange(n, dtype=np.int32), lp)[mask]
+    order = np.argsort(flat_t, kind="stable")
+    docs = flat_d[order].astype(np.int32)
+    imps = flat_i[order].astype(np.float32)
+    terms_sorted = flat_t[order]
+    counts = np.bincount(terms_sorted, minlength=n_vocab)
+    offsets = np.zeros(n_vocab + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    max_df = int(counts.max()) if counts.size else 1
+    return docs, imps, offsets.astype(np.int32), max(max_df, 1)
 
 
 class BM25Index:
@@ -37,9 +60,12 @@ class BM25Index:
                  k1: float = 0.9, b: float = 0.4,
                  max_terms_per_doc: Optional[int] = None,
                  max_query_terms: int = 32, mesh=None,
-                 block_n: int = 512) -> None:
+                 block_n: int = 512, engine: str = "postings") -> None:
         if len(doc_tokens) != len(meta):
             raise ValueError("meta length must match docs")
+        if engine not in {"postings", "scan"}:
+            raise ValueError(f"Unknown BM25 engine: {engine}")
+        self.engine = engine
         self.meta = meta
         self.k1, self.b = float(k1), float(b)
         self.max_query_terms = max_query_terms
@@ -111,6 +137,46 @@ class BM25Index:
         self.avgdl = float(avgdl)
         self.term_ids = shard_rows(jnp.asarray(term_ids), self.mesh, "index")
         self.impacts = shard_rows(jnp.asarray(impacts), self.mesh, "index")
+        self._build_postings(term_ids, impacts)
+
+    # postings window size: M = max_query_terms * w_max * window candidates
+    # are sorted per query, so keep windows lane-sized
+    POSTINGS_WINDOW = 512
+
+    def _build_postings(self, term_ids: np.ndarray, impacts: np.ndarray
+                        ) -> None:
+        """Device CSR postings for the O(sum df) engine (ops/bm25.py
+        ``bm25_postings_topk``) — Lucene's own cost model, vs the scan
+        kernel's O(N*Lp).  Sharded layout: per-shard CSR over its row
+        block, stacked [n_shards, ...] and row-sharded over the mesh."""
+        self.post_docs = self.post_imps = self.post_offsets = None
+        self.w_max = 1
+        self.rows_per_shard = term_ids.shape[0] // self.n_shards
+        if self.engine != "postings":
+            return
+        n_vocab = max(len(self.vocab), 1)
+        sr = self.rows_per_shard
+        docs_l, imps_l, offs_l, maxdf = [], [], [], 1
+        for s in range(self.n_shards):
+            d, i, o, m = _csr_from_packed(term_ids[s * sr:(s + 1) * sr],
+                                          impacts[s * sr:(s + 1) * sr],
+                                          n_vocab)
+            docs_l.append(d)
+            imps_l.append(i)
+            offs_l.append(o)
+            maxdf = max(maxdf, m)
+        p_pad = _round_up(max(max(len(d) for d in docs_l), 1), 128)
+        docs = np.full((self.n_shards, p_pad), np.iinfo(np.int32).max,
+                       np.int32)
+        imps = np.zeros((self.n_shards, p_pad), np.float32)
+        for s in range(self.n_shards):
+            docs[s, :len(docs_l[s])] = docs_l[s]
+            imps[s, :len(imps_l[s])] = imps_l[s]
+        self.post_docs = shard_rows(jnp.asarray(docs), self.mesh, "index")
+        self.post_imps = shard_rows(jnp.asarray(imps), self.mesh, "index")
+        self.post_offsets = shard_rows(jnp.asarray(np.stack(offs_l)),
+                                       self.mesh, "index")
+        self.w_max = -(-maxdf // self.POSTINGS_WINDOW)
 
     # ------------------------------------------------------------- search
     def encode_queries(self, queries: Sequence[str]
@@ -146,7 +212,20 @@ class BM25Index:
             return (np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]))
         q_terms, q_weights = self.encode_queries(queries)
-        if self.n_shards > 1:
+        if self.engine == "postings" and self.n_shards > 1:
+            from sdag_tpu.parallel.collectives import \
+                sharded_bm25_postings_topk
+            vals, idx = sharded_bm25_postings_topk(
+                self.post_docs, self.post_imps, self.post_offsets,
+                jnp.asarray(q_terms), jnp.asarray(q_weights), top_k,
+                w_max=self.w_max, window=self.POSTINGS_WINDOW,
+                mesh=self.mesh, rows_per_shard=self.rows_per_shard)
+        elif self.engine == "postings":
+            vals, idx = bm25_postings_topk(
+                self.post_docs[0], self.post_imps[0], self.post_offsets[0],
+                jnp.asarray(q_terms), jnp.asarray(q_weights), top_k,
+                w_max=self.w_max, window=self.POSTINGS_WINDOW)
+        elif self.n_shards > 1:
             from sdag_tpu.parallel.collectives import sharded_bm25_topk
             vals, idx = sharded_bm25_topk(
                 self.term_ids, self.impacts, jnp.asarray(q_terms),
@@ -201,13 +280,14 @@ class BM25Index:
                        "max_query_terms": self.max_query_terms}, f)
 
     @classmethod
-    def load(cls, index_dir: str, mesh=None,
-             block_n: int = 512) -> "BM25Index":
+    def load(cls, index_dir: str, mesh=None, block_n: int = 512,
+             engine: str = "postings") -> "BM25Index":
         obj = cls.__new__(cls)
         data = np.load(os.path.join(index_dir, "postings.npz"))
         obj.mesh = mesh if mesh is not None else make_index_mesh()
         obj.n_shards = obj.mesh.shape["index"]
         obj.block_n = block_n
+        obj.engine = engine
         tids, imps = data["term_ids"], data["impacts"]
         n_pad = _round_up(max(tids.shape[0], 1), block_n * obj.n_shards)
         if n_pad != tids.shape[0]:
@@ -229,6 +309,7 @@ class BM25Index:
         obj.k1, obj.b = man["k1"], man["b"]
         obj.avgdl, obj.valid_n = man["avgdl"], man["n"]
         obj.max_query_terms = man.get("max_query_terms", 32)
+        obj._build_postings(tids, imps)
         return obj
 
     @classmethod
