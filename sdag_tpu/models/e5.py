@@ -138,7 +138,7 @@ class E5Encoder:
 
     def __init__(self, params, cfg: EncoderConfig, tokenizer,
                  model_name: str = "e5", max_length: int = 512,
-                 pad_multiple: int = 64) -> None:
+                 pad_multiple: int = 64, dp_mesh=None) -> None:
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -147,6 +147,25 @@ class E5Encoder:
         self.pad_multiple = pad_multiple
         self._fwd = jax.jit(
             lambda p, ids, m: encoder_forward(p, cfg, ids, m))
+        # Data-parallel index-build encoding: batch rows sharded over the
+        # mesh 'data' axis, params replicated — the build-side mirror of
+        # the sharded search path (SURVEY §2.10). Output-identical to the
+        # single-device forward (pure batch parallelism, no collectives
+        # in the forward itself).
+        self.dp_mesh = None
+        self._dp_n = 1
+        if dp_mesh is not None and "data" in dp_mesh.shape \
+                and dp_mesh.shape["data"] > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.dp_mesh = dp_mesh
+            self._dp_n = dp_mesh.shape["data"]
+            rep = NamedSharding(dp_mesh, P())
+            row = NamedSharding(dp_mesh, P("data"))
+            self._fwd_dp = jax.jit(
+                lambda p, ids, m: encoder_forward(p, cfg, ids, m),
+                in_shardings=(jax.tree.map(lambda _: rep, params),
+                              row, row),
+                out_shardings=row)
 
     @property
     def dim(self) -> int:
@@ -168,8 +187,20 @@ class E5Encoder:
         for i in range(0, len(prefixed), batch_size):
             chunk = prefixed[i:i + batch_size]
             ids, mask = self._tokenize(chunk)
-            emb = self._fwd(self.params, jnp.asarray(ids), jnp.asarray(mask))
-            out.append(np.asarray(emb, np.float32))
+            if self.dp_mesh is not None:
+                # pad rows to a multiple of the data-axis size; all-zero
+                # mask rows pool to the zero vector and are dropped below
+                pad = (-len(chunk)) % self._dp_n
+                if pad:
+                    ids = np.pad(ids, ((0, pad), (0, 0)))
+                    mask = np.pad(mask, ((0, pad), (0, 0)))
+                emb = self._fwd_dp(self.params, jnp.asarray(ids),
+                                   jnp.asarray(mask))
+                out.append(np.asarray(emb, np.float32)[:len(chunk)])
+            else:
+                emb = self._fwd(self.params, jnp.asarray(ids),
+                                jnp.asarray(mask))
+                out.append(np.asarray(emb, np.float32))
         return np.vstack(out)
 
     def _tokenize(self, texts: List[str]):

@@ -60,7 +60,14 @@ def build_encoder(cfg: Config) -> E5Encoder:
         params, enc_cfg = load_encoder_checkpoint(cfg.RANKER_CHECKPOINT)
     else:
         params = init_encoder_params(jax.random.PRNGKey(cfg.SEED), enc_cfg)
-    return E5Encoder(params, enc_cfg, tok, model_name=cfg.RANKER_MODEL_NAME)
+    dp_mesh = None
+    if cfg.MESH_DATA > 1:
+        # index-build / query encoding sharded over the data axis,
+        # mirroring the sharded search path (SURVEY §2.10)
+        from sdag_tpu.core.mesh import make_mesh
+        dp_mesh = make_mesh(data=cfg.MESH_DATA, model=1)
+    return E5Encoder(params, enc_cfg, tok, model_name=cfg.RANKER_MODEL_NAME,
+                     dp_mesh=dp_mesh)
 
 
 def build_generator(cfg: Config) -> Generator:

@@ -84,3 +84,20 @@ def test_encoder_truncation(enc):
     emb = enc.encode([long_text], kind="passage")
     assert emb.shape == (1, CFG.d_model)
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_data_parallel_encode_matches_single_device(enc):
+    """Index-build encoding sharded over the 'data' mesh axis must be
+    output-identical to the single-device forward (pure batch
+    parallelism), including when the batch is not divisible by the axis
+    size (zero-mask pad rows are dropped)."""
+    from sdag_tpu.core.mesh import make_mesh
+    mesh = make_mesh(data=jax.device_count(), model=1)
+    dp = E5Encoder(enc.params, CFG, ByteTokenizer(), model_name="tiny-e5",
+                   dp_mesh=mesh)
+    texts = [f"passage number {i} about topic {i % 3}" for i in range(11)]
+    ref = enc.encode(texts, kind="passage", batch_size=16)
+    got = dp.encode(texts, kind="passage", batch_size=16)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-6)
