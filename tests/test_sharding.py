@@ -264,6 +264,59 @@ def test_ring_chunk_skip_predicate_sound():
     assert skipped > 100  # the predicate must actually skip work
 
 
+def test_ring_chunk_skip_predicate_sound_exhaustive():
+    """EXHAUSTIVE soundness of ``chunk_needed`` on a small world: every
+    doc-id sequence over {-2 hole, -1 non-doc, 0, 1}^6, every neighbor
+    bitmask assignment for the two docs, sys_user_len in {0, 3},
+    valid_len in {4, 6}, and all four (q shard, k chunk) pairs — so every
+    clause of the predicate (holes, prefix, causal extent, doc diagonal,
+    neighbor union, valid cutoff) is hit, not just the ones random
+    layouts reach.  skip => the exact tile mask is all-False."""
+    import itertools
+
+    import numpy as np
+
+    from sdag_tpu.ops.attention import _tile_mask
+    from sdag_tpu.parallel.context import chunk_needed
+
+    L, ls = 6, 3
+    dids = np.array(list(itertools.product([-2, -1, 0, 1], repeat=L)),
+                    np.int32)                       # [4096, 6]
+    did_all = np.repeat(dids, 16, axis=0)           # x16 nbr assignments
+    combo = np.tile(np.arange(16, dtype=np.int32), len(dids))
+    nbr_all = np.zeros_like(did_all)
+    nbr_all[did_all == 0] = (combo % 4)[:, None].repeat(L, 1)[did_all == 0]
+    nbr_all[did_all == 1] = (combo // 4)[:, None].repeat(L, 1)[did_all == 1]
+    did_j = jnp.asarray(did_all)
+    nbr_j = jnp.asarray(nbr_all)
+
+    total_skips = 0
+    for sul in (0, 3):
+        for vl in (4, 6):
+            for si in (0, 1):
+                for sj in (0, 1):
+                    i0, j0 = si * ls, sj * ls
+                    col_k = jnp.arange(j0, j0 + ls, dtype=jnp.int32)
+                    need = np.asarray(jax.jit(jax.vmap(
+                        lambda dq, nq, dk: chunk_needed(
+                            dq, nq, dk, i0 + ls - 1, j0, col_k, sul, vl)
+                    ))(did_j[:, i0:i0 + ls], nbr_j[:, i0:i0 + ls],
+                       did_j[:, j0:j0 + ls]))
+                    ii = jnp.arange(i0, i0 + ls)[:, None]
+                    jj = jnp.arange(j0, j0 + ls)[None, :]
+                    vis = np.asarray(jax.jit(jax.vmap(
+                        lambda dq, dk, nq: _tile_mask(
+                            ii, jj, dq[:, None], dk[None, :], nq[:, None],
+                            sul, vl).any()
+                    ))(did_j[:, i0:i0 + ls], did_j[:, j0:j0 + ls],
+                       nbr_j[:, i0:i0 + ls]))
+                    unsound = ~need & vis
+                    assert not unsound.any(), (sul, vl, si, sj,
+                                               int(unsound.sum()))
+                    total_skips += int((~need).sum())
+    assert total_skips > 100_000  # the predicate skips real work
+
+
 def test_pipeline_parallel_loss_matches_single_device():
     """GPipe-style pipeline parallelism over 4 stages: microbatched,
     ppermute-scheduled loss must equal the plain single-device LM loss,
