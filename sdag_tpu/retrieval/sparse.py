@@ -212,6 +212,19 @@ class BM25Index:
             return (np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]))
         q_terms, q_weights = self.encode_queries(queries)
+        if self.engine == "postings":
+            # bucket the query-term width (pad slots cost a full window of
+            # gather+sort each): typical analyzed queries have <=8 terms,
+            # while the packed cap is 32 — slicing to the bucketed max
+            # quarters the candidate sort. Buckets limit recompiles.
+            used = int(np.max(np.sum(q_terms != PAD_TERM, axis=1),
+                              initial=1))
+            t_bucket = 8
+            while t_bucket < used:
+                t_bucket *= 2
+            t_bucket = min(t_bucket, q_terms.shape[1])
+            q_terms = q_terms[:, :t_bucket]
+            q_weights = q_weights[:, :t_bucket]
         if self.engine == "postings" and self.n_shards > 1:
             from sdag_tpu.parallel.collectives import \
                 sharded_bm25_postings_topk
