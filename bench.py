@@ -382,6 +382,16 @@ def main() -> None:
                   r["tok_s_fullaccept"], "tok/s",
                   r["tok_s_fullaccept"] / decode_tok_s[1])
 
+    # speculative x int8 KV at serving batch: the verification window
+    # keeps the int8 cache's halved KV traffic, which matters at B>=8
+    # where decode is KV-bound (tests pin greedy equality w/ plain int8)
+    r = safe("spec_g8_b8_int8kv", lambda: bench_decode.run_speculative(
+        batch=8, prompt=1024, g=8, steps=32, iters=2, kv_dtype="int8"))
+    if r and decode_tok_s.get(8):
+        _emit("speculative_decode_tok_s_g8_fullaccept_b8_int8kv",
+              r["tok_s_fullaccept"], "tok/s",
+              r["tok_s_fullaccept"] / decode_tok_s[8])
+
     # ---- encoder throughput
     r = safe("e5_encode", bench_e5_encode)
     if r:

@@ -110,7 +110,7 @@ def run(batch: int, prompt: int, steps: int, temperature: float,
 
 
 def run_speculative(batch: int, prompt: int, g: int, steps: int,
-                    iters: int = 3) -> dict:
+                    iters: int = 3, kv_dtype: str = "native") -> dict:
     """Time speculative verification rounds: each round is ONE forward
     over a G-token window (decode_window) advancing G slots — the
     full-acceptance pattern of prompt-lookup decoding.  The window step
@@ -136,7 +136,8 @@ def run_speculative(batch: int, prompt: int, g: int, steps: int,
     @jax.jit
     def make_cache(params, ids):
         _, cache = prefill(params, cfg, ids, cache_size=cache_size,
-                           attn_impl="auto", block_q=512, block_k=512)
+                           attn_impl="auto", block_q=512, block_k=512,
+                           kv_dtype=kv_dtype)
         return cache
 
     cache = jax.block_until_ready(make_cache(params, ids))
@@ -171,7 +172,8 @@ def run_speculative(batch: int, prompt: int, g: int, steps: int,
         t0 = time.time()
         np.asarray(rounds(params, cache, cur0))
         best = min(best, time.time() - t0 - 0.03)
-    return {"batch": batch, "g": g, "round_ms": round(best / steps * 1e3, 3),
+    return {"batch": batch, "g": g, "kv_dtype": kv_dtype,
+            "round_ms": round(best / steps * 1e3, 3),
             "tok_s_fullaccept": round(batch * g * steps / best, 1)}
 
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from sdag_tpu.ops.attention import (masked_decode_attention,
                                     masked_decode_attention_int8,
                                     masked_decode_window_attention,
+                                    masked_decode_window_attention_int8,
                                     quantize_kv_heads_int8,
                                     sdag_prefill_attention)
 
@@ -403,6 +404,15 @@ def _update_rows_at(cache_layer: jax.Array, new: jax.Array,
     )(cache_layer, new, slots)
 
 
+def _update_scale_rows_at(scale_layer: jax.Array, new: jax.Array,
+                          slots: jax.Array) -> jax.Array:
+    """Per-row scale companion of :func:`_update_rows_at`:
+    scale_layer [B, Hkv, S], new [B, Hkv, G], slots [B]."""
+    return jax.vmap(
+        lambda c, n, s: jax.lax.dynamic_update_slice(c, n, (0, s))
+    )(scale_layer, new, slots)
+
+
 def decode_window(params: Dict[str, Any], cfg: DecoderConfig,
                   tokens: jax.Array,        # [B, G] window tokens
                   positions: jax.Array,     # [B, G] true (RoPE) positions
@@ -418,16 +428,15 @@ def decode_window(params: Dict[str, Any], cfg: DecoderConfig,
     K/V of all G tokens are written at ``write_slots[b] .. +G-1``; the
     caller is responsible for treating only the accepted prefix as valid
     history afterwards (rejected slots are overwritten by the next
-    window, which always starts at or before them).
+    window, which always starts at or before them — with the int8 cache
+    the per-slot scales are overwritten alongside the values, so the
+    same property holds).
 
-    Returns (logits [B, G, V], updated cache).  Requires a native-dtype
-    cache (the int8 cache is a single-token-decode optimization).
+    Returns (logits [B, G, V], updated cache).
     """
-    if "k_scale" in cache:
-        raise NotImplementedError(
-            "speculative decode_window requires KV_CACHE_DTYPE='native'")
     B, G = tokens.shape
     x = params["embed"][tokens].astype(cfg.dtype)  # [B, G, d]
+    int8_kv = "k_scale" in cache
 
     new_cache = dict(cache)
     for li, layer in enumerate(params["layers"]):
@@ -435,14 +444,32 @@ def decode_window(params: Dict[str, Any], cfg: DecoderConfig,
         q, k, v = _project_qkv(layer["attn"], h, cfg)   # [B, H|Hkv, G, hd]
         q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
         k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
-        new_cache["k"] = new_cache["k"].at[li].set(
-            _update_rows_at(new_cache["k"][li], k.astype(cfg.dtype),
-                            write_slots))
-        new_cache["v"] = new_cache["v"].at[li].set(
-            _update_rows_at(new_cache["v"][li], v.astype(cfg.dtype),
-                            write_slots))
-        attn_out = masked_decode_window_attention(
-            q, new_cache["k"][li], new_cache["v"][li], cache_mask)
+        if int8_kv:
+            k_q, k_s = quantize_kv_heads_int8(k)
+            v_q, v_s = quantize_kv_heads_int8(v)
+            new_cache["k"] = new_cache["k"].at[li].set(
+                _update_rows_at(new_cache["k"][li], k_q, write_slots))
+            new_cache["v"] = new_cache["v"].at[li].set(
+                _update_rows_at(new_cache["v"][li], v_q, write_slots))
+            new_cache["k_scale"] = new_cache["k_scale"].at[li].set(
+                _update_scale_rows_at(new_cache["k_scale"][li], k_s,
+                                      write_slots))
+            new_cache["v_scale"] = new_cache["v_scale"].at[li].set(
+                _update_scale_rows_at(new_cache["v_scale"][li], v_s,
+                                      write_slots))
+            attn_out = masked_decode_window_attention_int8(
+                q, new_cache["k"][li], new_cache["v"][li],
+                new_cache["k_scale"][li], new_cache["v_scale"][li],
+                cache_mask)
+        else:
+            new_cache["k"] = new_cache["k"].at[li].set(
+                _update_rows_at(new_cache["k"][li], k.astype(cfg.dtype),
+                                write_slots))
+            new_cache["v"] = new_cache["v"].at[li].set(
+                _update_rows_at(new_cache["v"][li], v.astype(cfg.dtype),
+                                write_slots))
+            attn_out = masked_decode_window_attention(
+                q, new_cache["k"][li], new_cache["v"][li], cache_mask)
         attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, G, -1)
         x = x + _maybe_psum(attn_out @ layer["attn"]["wo"], tp_axis)
         x = x + _maybe_psum(

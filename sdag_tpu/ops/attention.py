@@ -738,7 +738,13 @@ def sdag_splash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
 
 # One (b, kv-head)'s K+V must fit comfortably in VMEM for the KV-resident
 # schedule (16MB scoped limit; leave room for q/out/scratch).
-_KVRES_BUDGET_BYTES = 8 * 1024 * 1024
+# KV-resident schedule auto-pick: one head's K+V must fit scoped VMEM
+# together with the q/out blocks, metadata rows, softmax scratch, and
+# Mosaic's double buffering — measured on v5e, total scoped usage is
+# ~2.2x the raw K+V bytes (8MB of KV at L=16384/Dh=128 OOMed at 17.81MB
+# against the 16MB limit).  6MB keeps the schedule for L<=12k at Dh=128
+# and falls back to the grid kernel beyond.
+_KVRES_BUDGET_BYTES = 6 * 1024 * 1024
 
 
 def sdag_prefill_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
@@ -839,6 +845,32 @@ def masked_decode_window_attention(q, k_cache, v_cache, cache_mask):
     out = jnp.einsum("bgrtj,bgjd->bgrtd", probs.astype(v_cache.dtype),
                      v_cache)
     return out.reshape(B, H, G, Dh)
+
+
+def masked_decode_window_attention_int8(q, k_i8, v_i8, k_scale, v_scale,
+                                        cache_mask):
+    """:func:`masked_decode_window_attention` over an int8 KV cache.
+
+    Same scale folding as :func:`masked_decode_attention_int8` (k scale
+    into the dots, v scale into the probabilities), with the window's
+    [B, G, S] per-row mask — the speculative verification step keeps the
+    int8 cache's halved KV traffic.
+    """
+    B, H, G, Dh = q.shape
+    hkv = k_i8.shape[1]
+    rep = H // hkv
+    qg = q.reshape(B, hkv, rep, G, Dh)
+    scores = jnp.einsum("bgrtd,bgjd->bgrtj", qg, k_i8.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+    scores = scores * k_scale[:, :, None, None, :] * Dh ** -0.5
+    scores = jnp.where(cache_mask[:, None, None, :, :], scores,
+                       DEFAULT_MASK_VALUE)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = probs * v_scale[:, :, None, None, :]
+    out = jnp.einsum("bgrtj,bgjd->bgrtd", probs.astype(q.dtype),
+                     v_i8.astype(q.dtype),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, H, G, Dh).astype(q.dtype)
 
 
 def quantize_kv_heads_int8(x):

@@ -62,10 +62,10 @@ class Generator:
         # T>0 uses exact speculative sampling (accept draft d with
         # probability p(d), residual draw on rejection) so the output
         # DISTRIBUTION equals the non-speculative sampler's.
+        # Composes with KV_CACHE_DTYPE='int8': the verification window
+        # quantizes its K/V writes per slot and dequantizes via scales,
+        # so speculation keeps the int8 cache's halved KV traffic.
         self.speculative_draft = int(speculative_draft)
-        if self.speculative_draft and kv_cache_dtype != "native":
-            raise ValueError("speculative decoding requires "
-                             "KV_CACHE_DTYPE='native'")
         # Tensor-parallel generation (serving models that don't fit one
         # chip, e.g. Llama-3.1-8B bf16 on v5e): the whole generate fn runs
         # inside a shard_map over `tp_axis` with Megatron-sharded weights
@@ -317,7 +317,7 @@ class Generator:
                 sys_user_len=sys_user_len, valid_len=valid_len,
                 cache_size=cache_size, attn_impl=attn_impl,
                 block_q=block, block_k=block, tp_axis=tp,
-                logits_last_only=True)
+                kv_dtype=self.kv_cache_dtype, logits_last_only=True)
             last = logits[:, 0, :]
             key, sub = jax.random.split(key)
             cur0 = sample_tokens(sub, last, temperature, top_p)

@@ -282,11 +282,23 @@ def test_speculative_batch_and_iso_paths(params):
         g0.generate_plans([plan], max_new_tokens=10)
 
 
-def test_speculative_config_guards(params):
+def test_speculative_int8_kv_matches_plain_int8_decode(params):
+    """Speculation composes with the int8 KV cache: the verification
+    window quantizes its K/V writes per slot, so greedy speculative
+    output must equal the plain int8-cache decode token for token (both
+    share the same quantized cache numerics)."""
     tok = ByteTokenizer()
-    with pytest.raises(ValueError):
-        Generator(params, CFG, tok, temperature=0.0, speculative_draft=4,
-                  kv_cache_dtype="int8")
+    g0 = Generator(params, CFG, tok, temperature=0.0,
+                   kv_cache_dtype="int8")
+    prompts = ["abc abc abc abc abc abc",
+               "the quick brown fox jumps over the lazy dog the quick"]
+    for draft in (3, 7):
+        gs = Generator(params, CFG, tok, temperature=0.0,
+                       speculative_draft=draft, kv_cache_dtype="int8")
+        for text in prompts:
+            ids = [np.asarray(tok.encode(text), np.int32)]
+            assert gs.generate_ids(ids, max_new_tokens=12) == \
+                g0.generate_ids(ids, max_new_tokens=12), (draft, text)
 
 
 def test_speculative_sampling_distribution_exact():
