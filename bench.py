@@ -112,17 +112,18 @@ def bench_cpu_dense_qps(q, c, k: int, n_queries: int = 32) -> float:
 
 
 # ---------------------------------------------------------- SDAG prefill
-def bench_sdag_prefill(iters: int = 20):
-    """[B=1, H=16/KV=8, Dh=128, L=4096] with 20 doc blocks + 2-NN neighbor
-    windows — the round-1 README configuration."""
+def bench_sdag_prefill(iters: int = 20, L: int = 4096, n_docs: int = 20,
+                       doc_len: int = 176, sys_len: int = 256,
+                       with_xla: bool = True):
+    """[B=1, H=16/KV=8, Dh=128] with n_docs doc blocks + 2-NN neighbor
+    windows.  Default = the round-1 README configuration (L=4096)."""
     import jax
     import jax.numpy as jnp
 
     from sdag_tpu.ops.attention import (sdag_attention_reference,
                                         sdag_prefill_attention)
 
-    B, H, KV, Dh, L = 1, 16, 8, 128, 4096
-    n_docs, sys_len, doc_len = 20, 256, 176
+    B, H, KV, Dh = 1, 16, 8, 128
     key = jax.random.PRNGKey(0)
     kq, kk, kv = jax.random.split(key, 3)
     q = jax.random.normal(kq, (B, H, L, Dh), jnp.bfloat16)
@@ -160,7 +161,8 @@ def bench_sdag_prefill(iters: int = 20):
 
     sdag_s = timed(flash, doc_id, nbr_bits, sys_len)
     causal_s = timed(flash, causal_doc_id, zeros, 0)
-    xla_s = timed(sdag_attention_reference, doc_id, nbr_bits, sys_len)
+    xla_s = timed(sdag_attention_reference, doc_id, nbr_bits, sys_len) \
+        if with_xla else 0.0
     return sdag_s * 1e3, causal_s * 1e3, xla_s * 1e3
 
 
@@ -350,6 +352,17 @@ def main() -> None:
               causal_ms / sdag_ms)
         _emit("sdag_prefill_speedup_vs_dense_mask_xla", xla_ms / sdag_ms,
               "x", xla_ms / sdag_ms)
+
+    # long-context scaling: at L=16k the mask's block-sparsity beats plain
+    # causal outright (isolation skips most off-diagonal doc blocks) —
+    # the "SDAG mask IS the long-context mechanism" claim (SURVEY §5).
+    # XLA dense-mask baseline skipped: the [L, L] mask alone is 1GB.
+    r = safe("sdag_prefill_16k", lambda: bench_sdag_prefill(
+        iters=8, L=16384, n_docs=31, doc_len=512, with_xla=False))
+    if r:
+        sdag_ms, causal_ms, _ = r
+        _emit("sdag_prefill_ms_L16384_docs31", sdag_ms, "ms",
+              causal_ms / sdag_ms)
 
     # ---- decode
     import bench_decode

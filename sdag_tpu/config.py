@@ -162,20 +162,23 @@ class Config:
         if self.SPECULATIVE_DRAFT_LEN:
             if not 0 < self.SPECULATIVE_DRAFT_LEN <= 15:
                 raise ValueError("SPECULATIVE_DRAFT_LEN must be in [0, 15]")
-            if self.KV_CACHE_DTYPE != "native":
-                raise ValueError("SPECULATIVE_DRAFT_LEN requires "
-                                 "KV_CACHE_DTYPE='native'")
-        # SDAG doc-neighbor sets are int32 bitmasks (sdag/mask.py
-        # MAX_DOC_BLOCKS): every prompt doc (top-k survivors + injected
-        # malicious docs) needs a bit. Fail here, not mid-experiment.
-        from sdag_tpu.sdag.mask import MAX_DOC_BLOCKS
-        max_docs = (max(self.TOP_K, default=0)
-                    + self.MAX_MALICIOUS_DOCS_PER_QUERY)
-        if max_docs > MAX_DOC_BLOCKS:
-            raise ValueError(
-                f"TOP_K + MAX_MALICIOUS_DOCS_PER_QUERY can reach "
-                f"{max_docs} prompt docs, above the {MAX_DOC_BLOCKS}-doc "
-                f"SDAG bitmask limit (sdag/mask.py MAX_DOC_BLOCKS)")
+            # composes with KV_CACHE_DTYPE='int8' (decode_window has an
+            # int8 branch; greedy equality w/ plain int8 is test-pinned)
+        # SDAG doc-NEIGHBOR sets are int32 bitmasks (sdag/mask.py
+        # MAX_DOC_BLOCKS): with neighbor windows on, every prompt doc
+        # (top-k survivors + injected malicious docs) needs a bit.  Plain
+        # isolation uses exact doc-id equality and has no doc cap.
+        # Fail here, not mid-experiment.
+        if self.DOC_NEIGHBORS_K > 0:
+            from sdag_tpu.sdag.mask import MAX_DOC_BLOCKS
+            max_docs = (max(self.TOP_K, default=0)
+                        + self.MAX_MALICIOUS_DOCS_PER_QUERY)
+            if max_docs > MAX_DOC_BLOCKS:
+                raise ValueError(
+                    f"TOP_K + MAX_MALICIOUS_DOCS_PER_QUERY can reach "
+                    f"{max_docs} prompt docs, above the {MAX_DOC_BLOCKS}-"
+                    f"doc neighbor-bitmask limit (sdag/mask.py "
+                    f"MAX_DOC_BLOCKS; DOC_NEIGHBORS_K=0 lifts the cap)")
 
     def init_seeds(self) -> None:
         random.seed(self.SEED)

@@ -37,8 +37,11 @@ def _tile_mask(i, j, dq, dk, nbr_q, sys_user_len, valid_len):
     is_doc_q = dq >= 0
     same_doc = (dq == dk) & is_doc_q
     prefix = (dk == -1) & (j < sys_user_len)
-    nbr = (dk >= 0) & (jnp.bitwise_and(
-        jax.lax.shift_right_logical(nbr_q, jnp.maximum(dk, 0)), 1) == 1)
+    # neighbor windows only address docs 0..31 (int32 bitmask); higher doc
+    # ids are valid for isolation (exact dq==dk) but never neighbors, and
+    # the shift must stay < 32 (>= bitwidth is undefined)
+    nbr = (dk >= 0) & (dk < 32) & (jnp.bitwise_and(
+        jax.lax.shift_right_logical(nbr_q, jnp.clip(dk, 0, 31)), 1) == 1)
     doc_row = (causal & (same_doc | prefix)) | nbr
     nondoc_row = causal & (dk != HOLE)
     mask = (is_doc_q & doc_row) | (jnp.logical_not(is_doc_q) & nondoc_row)
@@ -127,8 +130,10 @@ def compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
         q_all_nondoc = q_max_d < 0
         q_has_doc = q_max_d >= 0
         q_has_nondoc = q_min_d < 0
+        # ids > 31 alias onto bit 31: the summaries stay conservative
+        # (spurious any_vis -> PARTIAL evaluates the exact in-tile mask)
         q_doc_bits = jnp.bitwise_or.reduce(
-            jnp.where(dqb >= 0, jnp.left_shift(1, jnp.maximum(dqb, 0)), 0),
+            jnp.where(dqb >= 0, jnp.left_shift(1, jnp.clip(dqb, 0, 31)), 0),
             axis=1)
         q_nbr_or = jnp.bitwise_or.reduce(nbrb, axis=1)
         q_nbr_homo = nbrb[:, 0]
@@ -146,7 +151,7 @@ def compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
         k_all_active = k_min_d >= -1
         k_any_active = k_max_d >= -1
         k_doc_bits = jnp.bitwise_or.reduce(
-            jnp.where(dkb >= 0, jnp.left_shift(1, jnp.maximum(dkb, 0)), 0),
+            jnp.where(dkb >= 0, jnp.left_shift(1, jnp.clip(dkb, 0, 31)), 0),
             axis=1)
         pos = jnp.arange(L, dtype=jnp.int32).reshape(nk, block_k)
         k_nondoc_min_j = jnp.min(jnp.where(dkb == -1, pos, big), axis=1)
@@ -169,9 +174,10 @@ def compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
         same_doc_homo = (q_homo_doc[:, None] & k_homo_doc[None, :]
                          & (q_min_d[:, None] == k_min_d[None, :]))
         nbr_full = (q_homo_doc[:, None] & k_homo_doc[None, :]
+                    & (k_min_d < 32)[None, :]
                     & (jnp.bitwise_and(jax.lax.shift_right_logical(
                         q_nbr_homo[:, None],
-                        jnp.maximum(k_min_d, 0)[None, :]), 1) == 1))
+                        jnp.clip(k_min_d, 0, 31)[None, :]), 1) == 1))
         full = q_all_valid[:, None] & k_all_valid[None, :] & (
             (q_all_nondoc[:, None] & below)
             | (q_homo_doc[:, None] & k_prefix_all & below)

@@ -128,9 +128,14 @@ def layout_to_metadata(
     Padding tokens get doc_id=-1 (causal rows; padded positions are excluded
     by the separate length mask at attention time).
     """
-    if layout.num_docs > MAX_DOC_BLOCKS:
-        raise ValueError(f"at most {MAX_DOC_BLOCKS} doc blocks supported, "
-                         f"got {layout.num_docs}")
+    # The int32 neighbor bitmask addresses docs 0..30 only; plain
+    # isolation (exact doc-id equality) has no doc-count limit, so the
+    # cap applies only when neighbor windows are actually requested.
+    uses_neighbors = doc_neighbors is not None and any(
+        len(n) for n in doc_neighbors)
+    if uses_neighbors and layout.num_docs > MAX_DOC_BLOCKS:
+        raise ValueError(f"at most {MAX_DOC_BLOCKS} doc blocks supported "
+                         f"with neighbor windows, got {layout.num_docs}")
     L = pad_to if pad_to is not None else layout.seq_len
     if L < layout.seq_len:
         raise ValueError("pad_to smaller than seq_len")
@@ -160,7 +165,8 @@ def mask_from_metadata(doc_id: np.ndarray, nbr_bits: np.ndarray,
     is_doc_q = dq >= 0
     same_doc = (dq == dk) & is_doc_q
     prefix = (dk == -1) & (j < sys_user_len)
-    nbr = (dk >= 0) & (((nbr_bits[:, None] >> np.maximum(dk, 0)) & 1) == 1)
+    nbr = (dk >= 0) & (dk < 32) & \
+        (((nbr_bits[:, None] >> np.minimum(np.maximum(dk, 0), 31)) & 1) == 1)
     doc_row = (causal & (same_doc | prefix)) | nbr
     # non-doc rows are causal but never attend hole keys
     mask = np.where(is_doc_q, doc_row, causal & (dk != HOLE_DOC_ID))

@@ -172,3 +172,45 @@ def test_kvres_kernel_matches_reference():
         q_offset=jnp.full((B,), s, jnp.int32),
         block_q=64, block_k=64, interpret=True))
     np.testing.assert_allclose(part, ref[:, :, s:e], atol=3e-2)
+
+
+def test_flash_kernel_beyond_31_docs():
+    """Isolation-only layouts with >31 docs (ids alias onto bit 31 in the
+    block-kind summaries, conservatively) must still produce exact kernel
+    output, and the block-kind classification must stay sound."""
+    rng = np.random.default_rng(11)
+    n_docs, dl, sul = 40, 12, 32
+    L = 640  # sul + 40*12 + tail, padded
+    spans = tuple((sul + d * dl, sul + (d + 1) * dl) for d in range(n_docs))
+    layout = BlockLayout(sul + n_docs * dl + 16, sul, spans,
+                         qa_start=sul + n_docs * dl)
+    doc_id, bits, _ = layout_to_metadata(layout, pad_to=L)
+    B, H, Dh = 1, 2, 32
+    vl = layout.seq_len
+    doc_id_b = np.stack([doc_id] * B)
+    bits_b = np.stack([bits] * B)
+    q = rng.standard_normal((B, H, L, Dh)).astype(np.float32)
+    k = rng.standard_normal((B, H, L, Dh)).astype(np.float32)
+    v = rng.standard_normal((B, H, L, Dh)).astype(np.float32)
+    args = [jnp.asarray(x) for x in (q, k, v, doc_id_b, bits_b)]
+    sul_a, vl_a = jnp.array([sul]), jnp.array([vl])
+    ref = np.asarray(sdag_attention_reference(*args, sys_user_len=sul_a,
+                                              valid_len=vl_a))
+    out = np.asarray(sdag_flash_attention(
+        *args, sys_user_len=sul_a, valid_len=vl_a, block_q=64, block_k=64,
+        interpret=True))
+    assert np.abs(ref - out)[:, :, :vl].max() < 3e-2
+
+    # block-kind soundness at >31 docs: SKIP tiles must be all-invisible,
+    # FULL tiles all-visible, per the exact dense mask
+    mask = mask_from_metadata(doc_id, bits, sul, valid_len=vl)
+    kinds = np.asarray(compute_block_kinds(
+        jnp.asarray(doc_id_b), jnp.asarray(bits_b), sul_a, vl_a,
+        block_q=64, block_k=64))[0]
+    for qi in range(kinds.shape[0]):
+        for ki in range(kinds.shape[1]):
+            tile = mask[qi * 64:(qi + 1) * 64, ki * 64:(ki + 1) * 64]
+            if kinds[qi, ki] == BLOCK_SKIP:
+                assert not tile.any(), (qi, ki)
+            elif kinds[qi, ki] == BLOCK_FULL:
+                assert tile.all(), (qi, ki)

@@ -98,3 +98,43 @@ def test_neighbors_to_bitmask_excludes_self():
     bits = neighbors_to_bitmask([[0, 1, 2], [2]], 3)
     assert bits[0] == 0b110  # self (0) excluded
     assert bits[1] == 0b100
+
+
+def test_mask_beyond_31_docs_isolation_only():
+    """Plain isolation has no doc-count cap (exact doc-id equality): a
+    40-doc layout's metadata mask must match an independent restatement
+    built without any bit arithmetic."""
+    import numpy as np
+    from sdag_tpu.sdag.mask import (BlockLayout, layout_to_metadata,
+                                    mask_from_metadata)
+
+    n_docs, dl, sul = 40, 6, 10
+    spans = tuple((sul + d * dl, sul + (d + 1) * dl) for d in range(n_docs))
+    L = sul + n_docs * dl + 8
+    layout = BlockLayout(L, sul, spans, qa_start=L - 8)
+    doc_id, bits, got_sul = layout_to_metadata(layout)  # no neighbors
+    assert doc_id.max() == n_docs - 1 and not bits.any()
+    mask = mask_from_metadata(doc_id, bits, got_sul, valid_len=L)
+
+    # independent restatement: integer comparisons only
+    ref = np.zeros((L, L), bool)
+    for i in range(L):
+        for j in range(i + 1):
+            di, dj = doc_id[i], doc_id[j]
+            if di >= 0:
+                ref[i, j] = (dj == di) or (dj == -1 and j < sul)
+            else:
+                ref[i, j] = True
+    np.testing.assert_array_equal(mask, ref)
+
+
+def test_mask_neighbors_beyond_cap_raises():
+    from sdag_tpu.sdag.mask import BlockLayout, layout_to_metadata
+    import pytest
+
+    n_docs, dl, sul = 40, 4, 8
+    spans = tuple((sul + d * dl, sul + (d + 1) * dl) for d in range(n_docs))
+    L = sul + n_docs * dl
+    layout = BlockLayout(L, sul, spans, qa_start=L)
+    with pytest.raises(ValueError, match="neighbor windows"):
+        layout_to_metadata(layout, doc_neighbors=[[1]] * n_docs)

@@ -75,15 +75,21 @@ def test_config_validate():
 
 
 def test_config_validate_sdag_doc_block_cap():
-    """TOP_K + injected malicious docs above the 31-doc int32-bitmask limit
-    must fail at config time, not mid-experiment (VERDICT r1 item 8)."""
+    """The 31-doc int32-bitmask limit applies only to NEIGHBOR windows:
+    with DOC_NEIGHBORS_K > 0 it must fail at config time, not
+    mid-experiment (VERDICT r1 item 8); plain isolation uses exact
+    doc-id equality and has no doc cap."""
     import pytest
     from sdag_tpu.config import Config
 
     cfg = Config()
     cfg.TOP_K = [30]
     cfg.MAX_MALICIOUS_DOCS_PER_QUERY = 5
-    with pytest.raises(ValueError, match="SDAG bitmask limit"):
+    cfg.DOC_NEIGHBORS_K = 2
+    with pytest.raises(ValueError, match="neighbor-bitmask limit"):
         cfg.validate()
+    cfg.DOC_NEIGHBORS_K = 0
+    cfg.validate()  # isolation-only: 35 docs fine
+    cfg.DOC_NEIGHBORS_K = 2
     cfg.TOP_K = [10]
-    cfg.validate()  # 10 + 5 <= 31: fine
+    cfg.validate()  # 10 + 5 <= 31: fine with neighbors too
