@@ -744,13 +744,16 @@ def sdag_splash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
 
 # One (b, kv-head)'s K+V must fit comfortably in VMEM for the KV-resident
 # schedule (16MB scoped limit; leave room for q/out/scratch).
-# KV-resident schedule auto-pick: one head's K+V must fit scoped VMEM
-# together with the q/out blocks, metadata rows, softmax scratch, and
-# Mosaic's double buffering — measured on v5e, total scoped usage is
-# ~2.2x the raw K+V bytes (8MB of KV at L=16384/Dh=128 OOMed at 17.81MB
-# against the 16MB limit).  6MB keeps the schedule for L<=12k at Dh=128
-# and falls back to the grid kernel beyond.
-_KVRES_BUDGET_BYTES = 6 * 1024 * 1024
+def _kvres_fits_vmem(k: jax.Array) -> bool:
+    """KV-resident schedule auto-pick: one head's K+V staging must fit
+    scoped VMEM.  Mosaic pads the minor (lane) dim to 128, so Dh < 128
+    inflates the staged block 128/Dh-fold (measured: L=15360/Dh=16/f32
+    allocated 31.75M, exactly the lane-padded size), and stage buffers
+    are double-buffered (~2.2x measured at L=16384/Dh=128/bf16 ->
+    17.81M vs 8M raw).  Budget = 14MB of the 16MB scoped limit."""
+    L, dh = k.shape[2], k.shape[3]
+    staged = 2 * L * max(dh, 128) * k.dtype.itemsize
+    return staged * 2.2 <= 14 * 1024 * 1024
 
 
 def sdag_prefill_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
@@ -762,10 +765,8 @@ def sdag_prefill_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl in ("pallas", "pallas_kvres") and q.shape[2] % 128:
         impl = "xla"  # unpadded lengths fall back to the dense-mask path
-    if impl == "pallas":
-        kv_bytes = 2 * k.shape[2] * k.shape[3] * k.dtype.itemsize
-        if kv_bytes <= _KVRES_BUDGET_BYTES:
-            impl = "pallas_kvres"
+    if impl == "pallas" and _kvres_fits_vmem(k):
+        impl = "pallas_kvres"
     if impl == "pallas_kvres":
         return sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits,
                                           sys_user_len, valid_len=valid_len,
