@@ -93,7 +93,7 @@ def build_generator(cfg: Config) -> Generator:
                      top_p=cfg.TOP_P, seed=cfg.SEED,
                      kv_cache_dtype=cfg.KV_CACHE_DTYPE,
                      speculative_draft=cfg.SPECULATIVE_DRAFT_LEN,
-                     tp_mesh=tp_mesh)
+                     tp_mesh=tp_mesh, batch_bucket=cfg.LLM_BATCH_SIZE)
 
 
 def init_resources(cfg: Config) -> Resources:

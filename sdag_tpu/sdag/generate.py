@@ -42,7 +42,8 @@ class Generator:
                  block_align: Optional[int] = None,
                  kv_cache_dtype: str = "native",
                  speculative_draft: int = 0,
-                 tp_mesh=None, tp_axis: str = "model") -> None:
+                 tp_mesh=None, tp_axis: str = "model",
+                 batch_bucket: int = 0) -> None:
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -101,6 +102,9 @@ class Generator:
         # ~30% hole inflation outweighs the extra tile skipping (it pays off
         # when docs are >= the tile size).
         self.pad_multiple = 512 if on_tpu else pad_multiple
+        # partial batches pad up to this row count (0 = off) so they hit
+        # the full batch's compiled fn; pad rows are inert (valid_len 0)
+        self.batch_bucket = int(batch_bucket)
         self.block_align = block_align if block_align is not None else 0
         self._key = jax.random.PRNGKey(seed)
         self._compiled: Dict[Tuple[int, int, int], object] = {}
@@ -137,12 +141,18 @@ class Generator:
     def _run(self, ids: Sequence[np.ndarray], doc_id, nbr_bits, sys_user_len,
              lp: int, max_new_tokens: int) -> List[str]:
         b = len(ids)
-        # under data parallelism the batch must divide the 'data' axis;
-        # pad with inert single-token rows and trim their outputs
+        # batch-dim padding: (a) under data parallelism the batch must
+        # divide the 'data' axis; (b) with batch_bucket set (the pipeline
+        # passes LLM_BATCH_SIZE), partial batches pad up to the bucket so
+        # the trailing batch reuses the full-batch compiled fn instead of
+        # triggering a fresh (slow, tunnel-bound) compile.  Pad rows have
+        # valid_len == 0 and are born done in the decode loop.
         dp_n = self.tp_mesh.shape["data"] if self.dp_axis else 1
         bp = _round_up(b, dp_n)
+        if self.batch_bucket and bp < self.batch_bucket:
+            bp = _round_up(self.batch_bucket, dp_n)
         batch_ids = np.full((bp, lp), self.tokenizer.pad_token_id, np.int32)
-        valid_len = np.ones((bp,), np.int32)
+        valid_len = np.zeros((bp,), np.int32)
         for i, x in enumerate(ids):
             batch_ids[i, :len(x)] = x
             valid_len[i] = len(x)
@@ -245,7 +255,10 @@ class Generator:
                 axis=1)
 
             out0 = jnp.full((batch, max_new), pad, jnp.int32)
-            done0 = jnp.zeros((batch,), bool)
+            # rows padded for batch bucketing / data parallelism carry
+            # valid_len == 0: born done, so they never hold back the
+            # while-loop's EOS early exit
+            done0 = valid_len == 0
             len0 = jnp.zeros((batch,), jnp.int32)
 
             def cond(state):
@@ -338,7 +351,7 @@ class Generator:
             col = jnp.arange(max_new, dtype=jnp.int32)[None, :]
 
             out0 = jnp.full((batch, max_new), pad, jnp.int32)
-            done0 = jnp.zeros((batch,), bool)
+            done0 = valid_len == 0  # bucket-pad rows are born done
             n0 = jnp.zeros((batch,), jnp.int32)
 
             def cond(state):

@@ -389,3 +389,21 @@ def test_int8_kv_cache_decode_matches_native(params):
     # deterministic fixture (fixed params, greedy): the int8 cache must
     # reproduce the native greedy continuation on this prompt
     assert a == b
+
+
+def test_batch_bucket_reuses_compile_and_matches(params):
+    """With batch_bucket set, a partial batch pads up to the bucket
+    (inert valid_len=0 rows, born done) so it reuses the full batch's
+    compiled fn — outputs must equal the unbucketed generator's."""
+    tok = ByteTokenizer()
+    texts = ["alpha beta", "gamma delta epsilon", "zeta"]
+    ids = [np.asarray(tok.encode(t), np.int32) for t in texts]
+    g0 = Generator(params, CFG, tok, temperature=0.0)
+    gb = Generator(params, CFG, tok, temperature=0.0, batch_bucket=4)
+    full = [np.asarray(tok.encode(t), np.int32)
+            for t in ["one", "two", "three", "four"]]
+    gb.generate_ids(full, max_new_tokens=6)      # compiles (4, lp, 6)
+    n_compiled = len(gb._compiled)
+    out_b = gb.generate_ids(ids, max_new_tokens=6)   # 3 rows -> bucket 4
+    assert len(gb._compiled) == n_compiled           # no new compile
+    assert out_b == g0.generate_ids(ids, max_new_tokens=6)
