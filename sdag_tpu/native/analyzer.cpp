@@ -26,10 +26,12 @@
 // Batch protocol: documents separated by '\x02' on input; output tokens
 // separated by '\x01' within a doc, docs separated by '\x02'.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <unordered_map>
 #include <unordered_set>
 #include <vector>
 
@@ -517,5 +519,115 @@ char* analyze_batch(const char* input, int64_t input_len, int64_t* out_len) {
 }
 
 void analyzer_free(char* p) { free(p); }
+
+// BM25 index-build counting: analyze a batch of '\x02'-separated docs and
+// return vocab + per-doc (term id, tf) pairs + df + doc lengths in one
+// binary buffer — the whole tokenize+count phase stays native (Lucene's
+// indexing is JVM-native; reference src/pipeline/retrieval/sparse.py
+// delegates it to Pyserini).  Layout (little-endian, 8-byte header part):
+//   int64 n_docs, n_vocab, n_pairs, vocab_blob_len
+//   int64 doc_offsets[n_docs + 1]      (pair ranges per doc)
+//   int32 doc_len[n_docs]              (analyzed token count incl. dups)
+//   int32 df[n_vocab]
+//   int32 pair_tid[n_pairs]
+//   int32 pair_tf[n_pairs]
+//   char  vocab_blob[vocab_blob_len]   ('\x01'-joined, first-appearance order)
+char* bm25_build_counts(const char* input, int64_t input_len,
+                        int64_t* out_len) {
+  std::unordered_map<std::string, int32_t> vocab;
+  std::vector<std::string> terms;          // id -> term
+  std::vector<int32_t> df;
+  std::vector<int32_t> last_doc;           // df dedup per doc
+  std::vector<int64_t> doc_offsets(1, 0);
+  std::vector<int32_t> doc_len;
+  std::vector<int32_t> pair_tid, pair_tf;
+
+  const char* p = input;
+  const char* end = input + input_len;
+  int32_t doc = 0;
+  std::unordered_map<int32_t, int32_t> counts;
+  while (p <= end) {
+    const char* sep = static_cast<const char*>(
+        memchr(p, '\x02', static_cast<size_t>(end - p)));
+    const char* doc_end = sep ? sep : end;
+
+    std::string toks;
+    analyze_doc(p, doc_end, &toks);
+    counts.clear();
+    int32_t n_toks = 0;
+    size_t s = 0;
+    while (s <= toks.size()) {
+      size_t e = toks.find('\x01', s);
+      if (e == std::string::npos) e = toks.size();
+      if (e > s) {
+        std::string term = toks.substr(s, e - s);
+        auto it = vocab.find(term);
+        int32_t tid;
+        if (it == vocab.end()) {
+          tid = static_cast<int32_t>(terms.size());
+          vocab.emplace(term, tid);
+          terms.push_back(std::move(term));
+          df.push_back(0);
+          last_doc.push_back(-1);
+        } else {
+          tid = it->second;
+        }
+        ++counts[tid];
+        ++n_toks;
+      }
+      if (e == toks.size()) break;
+      s = e + 1;
+    }
+    // pairs in ascending tid order (deterministic across runs)
+    std::vector<int32_t> tids;
+    tids.reserve(counts.size());
+    for (const auto& kv : counts) tids.push_back(kv.first);
+    std::sort(tids.begin(), tids.end());
+    for (int32_t tid : tids) {
+      pair_tid.push_back(tid);
+      pair_tf.push_back(counts[tid]);
+      if (last_doc[static_cast<size_t>(tid)] != doc) {
+        last_doc[static_cast<size_t>(tid)] = doc;
+        ++df[static_cast<size_t>(tid)];
+      }
+    }
+    doc_offsets.push_back(static_cast<int64_t>(pair_tid.size()));
+    doc_len.push_back(n_toks);
+    ++doc;
+    if (!sep) break;
+    p = sep + 1;
+  }
+
+  std::string blob;
+  for (size_t i = 0; i < terms.size(); ++i) {
+    if (i) blob.push_back('\x01');
+    blob.append(terms[i]);
+  }
+  const int64_t n_docs = doc;
+  const int64_t n_vocab = static_cast<int64_t>(terms.size());
+  const int64_t n_pairs = static_cast<int64_t>(pair_tid.size());
+  const int64_t blob_len = static_cast<int64_t>(blob.size());
+  const size_t bytes = sizeof(int64_t) * 4
+      + sizeof(int64_t) * doc_offsets.size()
+      + sizeof(int32_t) * (doc_len.size() + df.size())
+      + sizeof(int32_t) * (pair_tid.size() + pair_tf.size())
+      + blob.size();
+  char* buf = static_cast<char*>(malloc(bytes));
+  char* w = buf;
+  auto put = [&w](const void* src, size_t n) {
+    memcpy(w, src, n);
+    w += n;
+  };
+  int64_t hdr[4] = {n_docs, n_vocab, n_pairs, blob_len};
+  put(hdr, sizeof(hdr));
+  put(doc_offsets.data(), sizeof(int64_t) * doc_offsets.size());
+  put(doc_len.data(), sizeof(int32_t) * doc_len.size());
+  put(df.data(), sizeof(int32_t) * df.size());
+  put(pair_tid.data(), sizeof(int32_t) * pair_tid.size());
+  put(pair_tf.data(), sizeof(int32_t) * pair_tf.size());
+  put(blob.data(), blob.size());
+  *out_len = static_cast<int64_t>(bytes);
+  return buf;
+}
 
 }  // extern "C"

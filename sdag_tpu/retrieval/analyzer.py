@@ -67,6 +67,47 @@ class _NativeAnalyzer:
         docs = raw.split("\x02")
         return [[t for t in d.split("\x01") if t] for d in docs]
 
+    def build_counts(self, texts: List[str]):
+        """Native BM25 index-build counting: analyze + vocab + (tid, tf)
+        pairs + df + doc lengths in ONE C++ pass (the Python token lists
+        are never materialized).  Returns the dict described in
+        ``sparse.py:_counts_python``."""
+        import numpy as np
+        if not hasattr(self.lib, "bm25_build_counts"):
+            return None
+        self.lib.bm25_build_counts.restype = ctypes.POINTER(ctypes.c_char)
+        self.lib.bm25_build_counts.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+        payload = "\x02".join(t.replace("\x01", " ").replace("\x02", " ")
+                              for t in texts).encode("utf-8")
+        out_len = ctypes.c_int64(0)
+        buf = self.lib.bm25_build_counts(payload, len(payload),
+                                         ctypes.byref(out_len))
+        try:
+            raw = ctypes.string_at(buf, out_len.value)
+        finally:
+            self.lib.analyzer_free(buf)
+        hdr = np.frombuffer(raw, np.int64, count=4)
+        n_docs, n_vocab, n_pairs, blob_len = (int(x) for x in hdr)
+        off = 32
+        doc_offsets = np.frombuffer(raw, np.int64, count=n_docs + 1,
+                                    offset=off)
+        off += 8 * (n_docs + 1)
+        doc_len = np.frombuffer(raw, np.int32, count=n_docs, offset=off)
+        off += 4 * n_docs
+        df = np.frombuffer(raw, np.int32, count=n_vocab, offset=off)
+        off += 4 * n_vocab
+        pair_tid = np.frombuffer(raw, np.int32, count=n_pairs, offset=off)
+        off += 4 * n_pairs
+        pair_tf = np.frombuffer(raw, np.int32, count=n_pairs, offset=off)
+        off += 4 * n_pairs
+        blob = raw[off:off + blob_len].decode("utf-8", errors="replace")
+        terms = blob.split("\x01") if blob else []
+        return {"doc_offsets": doc_offsets.copy(),
+                "doc_len": doc_len.copy(), "df": df.copy(),
+                "pair_tid": pair_tid.copy(), "pair_tf": pair_tf.copy(),
+                "terms": terms}
+
 
 # --------------------------------------------------------------------------
 # Pure-Python fallback: identical algorithm (tested for agreement with C++).
@@ -389,3 +430,12 @@ def get_analyzer(prefer_native: bool = True):
 
 def analyze_texts(texts: List[str]) -> List[List[str]]:
     return get_analyzer().analyze_batch(texts)
+
+
+def build_counts_native(texts: List[str]):
+    """One-pass native analyze+count for BM25 index builds, or None when
+    the native library is unavailable (callers fall back to Python)."""
+    a = get_analyzer()
+    if isinstance(a, _NativeAnalyzer):
+        return a.build_counts(texts)
+    return None

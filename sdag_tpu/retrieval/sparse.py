@@ -51,17 +51,58 @@ def _csr_from_packed(term_ids: np.ndarray, impacts: np.ndarray,
     return docs, imps, offsets.astype(np.int32), max(max_df, 1)
 
 
+def _counts_from_tokens(doc_tokens: List[List[str]]) -> Dict[str, Any]:
+    """Python fallback of the native ``bm25_build_counts``: vocab in
+    first-appearance order, per-doc (tid, tf) pairs in ascending tid,
+    document frequencies, analyzed doc lengths."""
+    vocab: Dict[str, int] = {}
+    df: List[int] = []
+    pair_tid: List[int] = []
+    pair_tf: List[int] = []
+    doc_offsets: List[int] = [0]
+    doc_len: List[int] = []
+    for toks in doc_tokens:
+        row: Dict[int, int] = {}
+        for t in toks:
+            tid = vocab.get(t)
+            if tid is None:
+                tid = len(vocab)
+                vocab[t] = tid
+                df.append(0)
+            row[tid] = row.get(tid, 0) + 1
+        for tid in sorted(row):
+            pair_tid.append(tid)
+            pair_tf.append(row[tid])
+            df[tid] += 1
+        doc_offsets.append(len(pair_tid))
+        doc_len.append(len(toks))
+    return {"doc_offsets": np.asarray(doc_offsets, np.int64),
+            "doc_len": np.asarray(doc_len, np.int32),
+            "df": np.asarray(df, np.int32),
+            "pair_tid": np.asarray(pair_tid, np.int32),
+            "pair_tf": np.asarray(pair_tf, np.int32),
+            "terms": list(vocab.keys())}
+
+
 class BM25Index:
     """Packed impact-scored BM25 index (Lucene scoring variant, k1=0.9
     b=0.4 Anserini defaults — reference ``config.py:89`` uses the Anserini
     prebuilt wikipedia index with these)."""
 
-    def __init__(self, doc_tokens: List[List[str]], meta: List[Dict[str, Any]],
+    def __init__(self, doc_tokens: Optional[List[List[str]]],
+                 meta: List[Dict[str, Any]],
                  k1: float = 0.9, b: float = 0.4,
                  max_terms_per_doc: Optional[int] = None,
                  max_query_terms: int = 32, mesh=None,
-                 block_n: int = 512, engine: str = "postings") -> None:
-        if len(doc_tokens) != len(meta):
+                 block_n: int = 512, engine: str = "postings",
+                 counts: Optional[Dict[str, Any]] = None) -> None:
+        if counts is None:
+            if doc_tokens is None:
+                raise ValueError("need doc_tokens or counts")
+            if len(doc_tokens) != len(meta):
+                raise ValueError("meta length must match docs")
+            counts = _counts_from_tokens(doc_tokens)
+        elif len(counts["doc_len"]) != len(meta):
             raise ValueError("meta length must match docs")
         if engine not in {"postings", "scan"}:
             raise ValueError(f"Unknown BM25 engine: {engine}")
@@ -72,36 +113,25 @@ class BM25Index:
         self.block_n = block_n
         self.mesh = mesh if mesh is not None else make_index_mesh()
         self.n_shards = self.mesh.shape["index"]
-        n = len(doc_tokens)
+        n = len(meta)
         self.valid_n = n
 
-        # vocabulary + document frequency
-        self.vocab: Dict[str, int] = {}
-        df: List[int] = []
-        tf_rows: List[Dict[int, int]] = []
-        dls = np.zeros(n, np.float64)
-        for i, toks in enumerate(doc_tokens):
-            dls[i] = len(toks)
-            row: Dict[int, int] = {}
-            for t in toks:
-                tid = self.vocab.get(t)
-                if tid is None:
-                    tid = len(self.vocab)
-                    self.vocab[t] = tid
-                    df.append(0)
-                row[tid] = row.get(tid, 0) + 1
-            for tid in row:
-                df[tid] += 1
-            tf_rows.append(row)
-
-        df_arr = np.asarray(df, np.float64)
+        terms = counts["terms"]
+        self.vocab: Dict[str, int] = {t: i for i, t in enumerate(terms)}
+        df_arr = np.asarray(counts["df"], np.float64)
         self.idf = np.log(1.0 + (n - df_arr + 0.5) / (df_arr + 0.5))
+        dls = np.asarray(counts["doc_len"], np.float64)
         avgdl = dls.mean() if n else 1.0
+        doc_offsets = np.asarray(counts["doc_offsets"], np.int64)
+        pair_tid = np.asarray(counts["pair_tid"], np.int32)
+        pair_tf = np.asarray(counts["pair_tf"], np.float64)
+        row_counts = np.diff(doc_offsets)
+        pair_doc = np.repeat(np.arange(n, dtype=np.int64), row_counts)
 
         # Packed width = the true max distinct-terms-per-doc (no silent
         # truncation — Lucene scores every term).  An explicit
         # max_terms_per_doc cap is opt-in and warns loudly when it bites.
-        max_row = max((len(r) for r in tf_rows), default=1)
+        max_row = int(row_counts.max()) if n else 1
         lp = _round_up(max(max_row, 1), 128)
         if max_terms_per_doc is None and lp > 2048:
             # one outlier doc widens the packed [N, lp] postings for the
@@ -109,31 +139,35 @@ class BM25Index:
             # say so loudly and point at the opt-in cap
             print(f"[bm25] WARNING: widest doc has {max_row} distinct "
                   f"terms -> packed width {lp}; postings will take "
-                  f"~{len(tf_rows) * lp * 8 / 1e9:.1f} GB. Set "
+                  f"~{n * lp * 8 / 1e9:.1f} GB. Set "
                   f"max_terms_per_doc to cap (deviates from Lucene).",
                   flush=True)
         if max_terms_per_doc is not None:
             cap = _round_up(max_terms_per_doc, 128)
             if cap < lp:
-                n_trunc = sum(len(r) > cap for r in tf_rows)
+                n_trunc = int(np.sum(row_counts > cap))
                 print(f"[bm25] WARNING: max_terms_per_doc={max_terms_per_doc}"
                       f" truncates {n_trunc}/{n} docs (max distinct terms "
                       f"{max_row}); ranking will deviate from Lucene",
                       flush=True)
             lp = min(lp, cap)
-        # rows padded to a multiple of (block_n * n_shards) and sharded
-        # along the 'index' mesh axis, mirroring DenseIndex
+
+        # vectorized packing: per-doc columns in impact-desc order (the
+        # cap keeps the highest-impact terms, like the old per-row sort)
+        norm = self.k1 * (1.0 - self.b + self.b * dls / avgdl)
+        impacts_flat = (self.idf[pair_tid] * pair_tf
+                        / (pair_tf + norm[pair_doc])).astype(np.float32)
         n_pad = _round_up(max(n, 1), self.block_n * self.n_shards)
         term_ids = np.full((n_pad, lp), PAD_TERM, np.int32)
         impacts = np.zeros((n_pad, lp), np.float32)
-        for i, row in enumerate(tf_rows):
-            norm = self.k1 * (1.0 - self.b + self.b * dls[i] / avgdl)
-            items = [(tid, self.idf[tid] * tf / (tf + norm))
-                     for tid, tf in row.items()]
-            items.sort(key=lambda x: -x[1])  # keep highest-impact on overflow
-            for jcol, (tid, imp) in enumerate(items[:lp]):
-                term_ids[i, jcol] = tid
-                impacts[i, jcol] = imp
+        if len(pair_tid):
+            order = np.lexsort((-impacts_flat, pair_doc))
+            sd = pair_doc[order]
+            pos = (np.arange(len(sd), dtype=np.int64)
+                   - np.repeat(doc_offsets[:-1], row_counts))
+            keep = pos < lp
+            term_ids[sd[keep], pos[keep]] = pair_tid[order][keep]
+            impacts[sd[keep], pos[keep]] = impacts_flat[order][keep]
         self.avgdl = float(avgdl)
         self.term_ids = shard_rows(jnp.asarray(term_ids), self.mesh, "index")
         self.impacts = shard_rows(jnp.asarray(impacts), self.mesh, "index")
@@ -327,9 +361,16 @@ class BM25Index:
 
     @classmethod
     def from_texts(cls, texts: List[str], ids: List[str], **kw) -> "BM25Index":
-        tokens = analyze_texts(texts)
         meta = [{"id": i, "text": t} for i, t in zip(ids, texts)]
-        return cls(tokens, meta, **kw)
+        # native fast path: analyze + vocab + tf counting in one C++ pass
+        # (Lucene's indexing is JVM-native; this keeps ours native too) —
+        # Python token lists are never materialized.  Fallback: analyzer
+        # output through the Python counter (identical result, tested).
+        from sdag_tpu.retrieval.analyzer import build_counts_native
+        counts = build_counts_native(texts)
+        if counts is not None:
+            return cls(None, meta, counts=counts, **kw)
+        return cls(analyze_texts(texts), meta, **kw)
 
 
 def bm25_score_reference(doc_tokens: List[List[str]],

@@ -196,3 +196,35 @@ def test_sharded_bm25_matches_single_device():
     i1, s1 = idx1.search(queries, top_k=10)
     np.testing.assert_array_equal(i8, i1)
     np.testing.assert_allclose(s8, s1, rtol=1e-6)
+
+
+def test_native_build_counts_matches_python():
+    """The one-pass C++ analyze+count must agree exactly with the Python
+    counter over analyzer output: same vocab (first-appearance order),
+    pairs, df, and doc lengths."""
+    from sdag_tpu.retrieval.analyzer import build_counts_native
+    from sdag_tpu.retrieval.sparse import _counts_from_tokens
+    texts = CORPUS + ["The fox's den — naïve déjà-vu 2,500 miles",
+                      "", "running RUNNING runs"]
+    native = build_counts_native(texts)
+    if native is None:
+        return  # toolchain unavailable; python path covers builds
+    py = _counts_from_tokens(analyze_texts(texts))
+    assert native["terms"] == py["terms"]
+    for k in ("doc_offsets", "doc_len", "df", "pair_tid", "pair_tf"):
+        np.testing.assert_array_equal(native[k], py[k], err_msg=k)
+
+
+def test_from_texts_native_matches_token_path():
+    """BM25Index.from_texts (native fast path) must rank and score
+    identically to construction from analyzed token lists."""
+    ids = [f"d{i}" for i in range(len(CORPUS))]
+    a = BM25Index.from_texts(CORPUS, ids)
+    b = BM25Index(analyze_texts(CORPUS),
+                  [{"id": i, "text": t} for i, t in zip(ids, CORPUS)])
+    assert a.vocab == b.vocab
+    queries = ["quick fox", "lazy dog sleeping", "quantum training data"]
+    ia, sa = a.search(queries, top_k=5)
+    ib, sb = b.search(queries, top_k=5)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(sa, sb, rtol=1e-6)
