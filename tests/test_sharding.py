@@ -212,6 +212,12 @@ def test_dp_tp_generation_matches_single_device():
     # odd batch -> padded to the data-axis multiple, outputs trimmed
     assert g_dp.generate_ids(ids4[:3], max_new_tokens=8) == \
         g0.generate_ids(ids4[:3], max_new_tokens=8)
+    # speculative decoding composes with dp x tp (greedy-exact)
+    gs0 = Generator(params, cfg, tok, temperature=0.0, speculative_draft=3)
+    gs_dp = Generator(params, cfg, tok, temperature=0.0,
+                      speculative_draft=3, tp_mesh=mesh)
+    assert gs_dp.generate_ids(ids4, max_new_tokens=8) == \
+        gs0.generate_ids(ids4, max_new_tokens=8)
 
 
 def test_ring_chunk_skip_predicate_sound():
