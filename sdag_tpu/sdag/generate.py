@@ -109,6 +109,16 @@ class Generator:
         self._key = jax.random.PRNGKey(seed)
         self._compiled: Dict[Tuple[int, int, int], object] = {}
 
+    def _pad_len(self, max_len: int) -> int:
+        """Length bucket: pad_multiple granularity up to 4k, then 2048 —
+        long-prompt batches whose raw lengths wobble batch to batch land
+        on one compiled shape instead of recompiling per batch (each
+        extra shape is a full remote compile on the tunnel)."""
+        lp = _round_up(max_len, self.pad_multiple)
+        if lp > 4096:
+            lp = _round_up(lp, 2048)
+        return lp
+
     # ------------------------------------------------------------ public
     def generate_plans(self, plans: Sequence[PromptPlan],
                        doc_neighbors: Optional[Sequence] = None,
@@ -116,7 +126,7 @@ class Generator:
         """ISO path: generate with document-isolation prefill."""
         ids = [p.input_ids for p in plans]
         metas = []
-        lp = _round_up(max(len(x) for x in ids), self.pad_multiple)
+        lp = self._pad_len(max(len(x) for x in ids))
         for i, p in enumerate(plans):
             nbrs = doc_neighbors[i] if doc_neighbors is not None else None
             metas.append(p.metadata(doc_neighbors=nbrs, pad_to=lp))
@@ -129,7 +139,7 @@ class Generator:
     def generate_ids(self, ids: Sequence[np.ndarray],
                      max_new_tokens: int = 128) -> List[str]:
         """NO-ISO path: plain causal generation."""
-        lp = _round_up(max(len(x) for x in ids), self.pad_multiple)
+        lp = self._pad_len(max(len(x) for x in ids))
         b = len(ids)
         doc_id = np.full((b, lp), -1, np.int32)
         nbr_bits = np.zeros((b, lp), np.int32)
