@@ -73,3 +73,25 @@ def test_bm25_top10_matches_golden(fix):
         got_scores = [s for s in scores[0] if np.isfinite(s)]
         np.testing.assert_allclose(got_scores, case["top10_scores"],
                                    rtol=1e-4)
+
+
+def test_native_build_counts_agrees_on_fuzz(fix):
+    """The one-pass C++ analyze+count equals the Python counter over
+    analyzer output on messy unicode inputs (same fuzz pool as the
+    analyzer agreement test)."""
+    from sdag_tpu.retrieval.analyzer import (analyze_texts,
+                                             build_counts_native)
+    from sdag_tpu.retrieval.sparse import _counts_from_tokens
+    so = _build_native()
+    if so is None:
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(3)
+    pool = list("abcXYZ 0123.,'_-’一アあ́é"
+                "Ж가\U0001F600")
+    texts = ["".join(rng.choice(pool, size=rng.integers(1, 60)))
+             for _ in range(200)]
+    native = build_counts_native(texts)
+    py = _counts_from_tokens(analyze_texts(texts))
+    assert native["terms"] == py["terms"]
+    for k in ("doc_offsets", "doc_len", "df", "pair_tid", "pair_tf"):
+        np.testing.assert_array_equal(native[k], py[k], err_msg=k)
