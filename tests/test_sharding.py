@@ -381,3 +381,41 @@ def test_pipeline_plus_tensor_parallel_loss_matches():
 
     state2, loss = step(state, batch)
     assert np.isfinite(float(loss)) and int(state2.step) == 1
+
+
+def test_ring_chunk_skip_predicate_sound_beyond_31_docs():
+    """Doc ids above 31 alias onto bit 31 in chunk_needed's summaries
+    (conservative) and are never neighbors in _tile_mask: skip must still
+    imply an all-False tile on a 40-doc isolation layout."""
+    import numpy as np
+
+    from sdag_tpu.ops.attention import _tile_mask
+    from sdag_tpu.parallel.context import chunk_needed
+
+    L, ls, sul = 256, 32, 16
+    n_docs, dl = 40, (256 - 16) // 40
+    did = np.full(L, -1, np.int32)
+    for d in range(n_docs):
+        did[sul + d * dl: sul + (d + 1) * dl] = d
+    nbr = np.zeros(L, np.int32)
+    nbr[did >= 0] = 1 << 30  # highest legal neighbor bit everywhere
+    didj, nbrj = jnp.asarray(did), jnp.asarray(nbr)
+    vl = L
+    skipped = 0
+    for si in range(L // ls):
+        for sj in range(L // ls):
+            i0, j0 = si * ls, sj * ls
+            col_k = jnp.arange(j0, j0 + ls, dtype=jnp.int32)
+            need = bool(chunk_needed(
+                didj[i0:i0 + ls], nbrj[i0:i0 + ls], didj[j0:j0 + ls],
+                i0 + ls - 1, j0, col_k, sul, vl))
+            if not need:
+                skipped += 1
+                i = np.arange(i0, i0 + ls)[:, None]
+                j = np.arange(j0, j0 + ls)[None, :]
+                mask = np.asarray(_tile_mask(
+                    jnp.asarray(i), jnp.asarray(j),
+                    didj[i0:i0 + ls][:, None], didj[j0:j0 + ls][None, :],
+                    nbrj[i0:i0 + ls][:, None], sul, vl))
+                assert not mask.any(), (si, sj)
+    assert skipped > 0
