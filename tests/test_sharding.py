@@ -176,6 +176,14 @@ def test_tp_generation_matches_single_device():
             g_spec = Generator(params, cfg, tok, temperature=0.0,
                                speculative_draft=4, tp_mesh=mesh)
             assert g_spec.generate_ids(ids, max_new_tokens=10) == a
+            # speculative x int8 KV x TP == single-device int8 decode
+            g_i8 = Generator(params, cfg, tok, temperature=0.0,
+                             kv_cache_dtype="int8")
+            g_spec_i8 = Generator(params, cfg, tok, temperature=0.0,
+                                  speculative_draft=4,
+                                  kv_cache_dtype="int8", tp_mesh=mesh)
+            assert g_spec_i8.generate_ids(ids, max_new_tokens=10) == \
+                g_i8.generate_ids(ids, max_new_tokens=10)
     # axis size must divide the head/ff/vocab dims
     import pytest
     bad = DecoderConfig(vocab_size=512, d_model=64, n_layers=1, n_heads=4,
