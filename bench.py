@@ -405,6 +405,15 @@ def main() -> None:
               r["tok_s_fullaccept"], "tok/s",
               r["tok_s_fullaccept"] / decode_tok_s[8])
 
+    # aggregate serving ceiling: B=32 rows, G=8 speculation, int8 KV
+    # (vs_baseline = x over plain B=8 bf16 decode)
+    r = safe("spec_g8_b32_int8kv", lambda: bench_decode.run_speculative(
+        batch=32, prompt=1024, g=8, steps=16, iters=2, kv_dtype="int8"))
+    if r and decode_tok_s.get(8):
+        _emit("speculative_decode_tok_s_g8_fullaccept_b32_int8kv",
+              r["tok_s_fullaccept"], "tok/s",
+              r["tok_s_fullaccept"] / decode_tok_s[8])
+
     # ---- encoder throughput
     r = safe("e5_encode", bench_e5_encode)
     if r:
