@@ -407,3 +407,17 @@ def test_batch_bucket_reuses_compile_and_matches(params):
     out_b = gb.generate_ids(ids, max_new_tokens=6)   # 3 rows -> bucket 4
     assert len(gb._compiled) == n_compiled           # no new compile
     assert out_b == g0.generate_ids(ids, max_new_tokens=6)
+
+
+def test_generator_iso_beyond_31_docs(params):
+    """Isolation-only generation with 40 docs (ids above the neighbor
+    bitmask range) must run end-to-end and match itself deterministically;
+    the plan's layout must carry all 40 doc spans."""
+    tok = ByteTokenizer()
+    docs = [f"passage number {i} about topic {i}" for i in range(40)]
+    plan = build_rag_prompt_plan(tok, "which passages?", docs)
+    assert plan.layout.num_docs == 40
+    gen = Generator(params, CFG, tok, temperature=0.0)
+    out1 = gen.generate_plans([plan], max_new_tokens=8)
+    out2 = gen.generate_plans([plan], max_new_tokens=8)
+    assert out1 == out2 and isinstance(out1[0], str)
