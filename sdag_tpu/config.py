@@ -24,7 +24,15 @@ import numpy as np
 # JSON keys accepted as aliases for renamed fields (reference compat).
 _KEY_ALIASES: Dict[str, str] = {
     "RNAKED_LIST_ORDER_IN_PROMPT": "RANKED_LIST_ORDER_IN_PROMPT",
+    # reference's FAISS index path maps to the packed dense index dir;
+    # lowercase-suffixed gen-token keys map to the normalized names.
+    "FAISS_INDEX_PATH": "DENSE_INDEX_PATH",
+    "MAX_GEN_TOKENS_false_answer": "MAX_GEN_TOKENS_FALSE_ANSWER",
+    "MAX_GEN_TOKENS_document": "MAX_GEN_TOKENS_DOCUMENT",
 }
+# Reference keys with no TPU equivalent (CUDA device selection, Lucene
+# thread pool): accepted silently so reference configs load unchanged.
+_IGNORED_REFERENCE_KEYS = {"DEVICE", "RAGDEFENDER_DEVICE", "SPARSE_THREADS"}
 
 
 @dataclass
@@ -196,6 +204,10 @@ class Config:
         fields = {f.name: f for f in dataclasses.fields(self)}
         for raw_key, value in overrides.items():
             key = _KEY_ALIASES.get(raw_key, raw_key)
+            if raw_key in _IGNORED_REFERENCE_KEYS:
+                print(f"[config] Note: reference key '{raw_key}' has no "
+                      "TPU equivalent; ignored.")
+                continue
             if key not in fields:
                 print(f"[config] Warning: unknown key '{raw_key}', skipping.")
                 continue

@@ -93,3 +93,25 @@ def test_config_validate_sdag_doc_block_cap():
     cfg.DOC_NEIGHBORS_K = 2
     cfg.TOP_K = [10]
     cfg.validate()  # 10 + 5 <= 31: fine with neighbors too
+
+
+def test_config_reference_key_compat():
+    """A reference-style JSON config loads unchanged: renamed keys map via
+    aliases (FAISS path, lowercase gen-token names, the RNAKED typo) and
+    CUDA/JVM-only keys are ignored without touching anything."""
+    from sdag_tpu.config import Config
+
+    cfg = Config()
+    cfg.apply_overrides({
+        "FAISS_INDEX_PATH": "my.index",
+        "MAX_GEN_TOKENS_false_answer": 33,
+        "MAX_GEN_TOKENS_document": 44,
+        "RNAKED_LIST_ORDER_IN_PROMPT": "bottom_up",
+        "DEVICE": "cuda:0",
+        "RAGDEFENDER_DEVICE": "cuda:1",
+        "SPARSE_THREADS": 8,
+    })
+    assert cfg.DENSE_INDEX_PATH == "my.index"
+    assert cfg.MAX_GEN_TOKENS_FALSE_ANSWER == 33
+    assert cfg.MAX_GEN_TOKENS_DOCUMENT == 44
+    assert cfg.RANKED_LIST_ORDER_IN_PROMPT == "bottom_up"
