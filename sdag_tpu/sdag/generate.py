@@ -108,6 +108,9 @@ class Generator:
         self.block_align = block_align if block_align is not None else 0
         self._key = jax.random.PRNGKey(seed)
         self._compiled: Dict[Tuple[int, int, int], object] = {}
+        # speculative observability: verification rounds of the last call
+        # (mean accepted drafts per round = sum(lengths)/rounds/b - 1)
+        self.last_spec_rounds = 0
 
     def _pad_len(self, max_len: int) -> int:
         """Length bucket: pad_multiple granularity up to 4k, then 2048 —
@@ -176,10 +179,17 @@ class Generator:
 
         fn = self._get_compiled(bp, lp, max_new_tokens)
         self._key, sub = jax.random.split(self._key)
-        out, lengths = fn(self.params, jnp.asarray(batch_ids),
-                          jnp.asarray(doc_id), jnp.asarray(nbr_bits),
-                          jnp.asarray(sys_user_len), jnp.asarray(valid_len),
-                          sub)
+        res = fn(self.params, jnp.asarray(batch_ids),
+                 jnp.asarray(doc_id), jnp.asarray(nbr_bits),
+                 jnp.asarray(sys_user_len), jnp.asarray(valid_len),
+                 sub)
+        if len(res) == 3:   # speculative engine also reports its rounds
+            out, lengths, rounds = res
+            # emitted/rounds - 1 = mean accepted drafts per round: the
+            # workload's actual speculation factor
+            self.last_spec_rounds = int(rounds)
+        else:
+            out, lengths = res
         out = np.asarray(out)
         lengths = np.asarray(lengths)
         texts = []
@@ -210,9 +220,11 @@ class Generator:
         dp = self.dp_axis
         row = P(dp, None) if dp else P()
         vec = P(dp) if dp else P()
+        outs = (row, vec) if self.speculative_draft == 0 \
+            else (row, vec, P())  # + replicated rounds counter
         fn = shard_map(run, mesh=self.tp_mesh,
                        in_specs=(pspecs, row, row, row, vec, vec, P()),
-                       out_specs=(row, vec), check_vma=False)
+                       out_specs=outs, check_vma=False)
         return jax.jit(fn)
 
     def _dp_key(self, key):
@@ -443,8 +455,15 @@ class Generator:
                 return r + 1, out, prev, cur, n, cache, done, key
 
             state = (jnp.int32(0), out0, prev0, cur0, n0, cache, done0, key)
-            _, out, _, _, lengths, _, _, _ = jax.lax.while_loop(cond, body,
-                                                                state)
-            return out, lengths
+            rounds, out, _, _, lengths, _, _, _ = jax.lax.while_loop(
+                cond, body, state)
+            # observability: emitted-tokens / rounds - 1 = mean accepted
+            # drafts per round on THIS workload (the real speculation
+            # speedup factor; bench quotes the full-acceptance ceiling).
+            # Under data parallelism groups may stop at different rounds;
+            # report the max so the counter is replicated.
+            if self.dp_axis is not None:
+                rounds = jax.lax.pmax(rounds, self.dp_axis)
+            return out, lengths, rounds
 
         return self._wrap(run)

@@ -421,3 +421,20 @@ def test_generator_iso_beyond_31_docs(params):
     out1 = gen.generate_plans([plan], max_new_tokens=8)
     out2 = gen.generate_plans([plan], max_new_tokens=8)
     assert out1 == out2 and isinstance(out1[0], str)
+
+
+def test_speculative_rounds_observability(params):
+    """last_spec_rounds reports verification rounds: a repetitive prompt
+    (drafts accepted) must finish in fewer rounds than tokens emitted; a
+    plain generator leaves the counter untouched."""
+    tok = ByteTokenizer()
+    gs = Generator(params, CFG, tok, temperature=0.0, speculative_draft=7)
+    ids = [np.asarray(tok.encode("abc abc abc abc abc abc abc"), np.int32)]
+    gs.generate_ids(ids, max_new_tokens=16)
+    # each round emits >= 1 token, so 1 <= rounds <= max_new; with
+    # random weights drafts rarely accept, so no tighter bound here —
+    # on real weights emitted/rounds - 1 is the workload's acceptance
+    assert 1 <= gs.last_spec_rounds <= 16
+    g0 = Generator(params, CFG, tok, temperature=0.0)
+    g0.generate_ids(ids, max_new_tokens=8)
+    assert g0.last_spec_rounds == 0
