@@ -289,7 +289,7 @@ def bench_bm25(iters: int = 20):
     def loop_post(dj, pj, oj, qj, wj):
         def body(i, acc):
             vals, _ = bm25_postings_topk(dj, pj, oj, qj, wj + acc * 1e-9,
-                                         K, w_max=w_max, window=window)
+                                         K, w_slots=w_max, window=window)
             return acc + vals[0, 0]
         return jax.lax.fori_loop(0, iters, body, 0.0)
 

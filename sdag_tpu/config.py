@@ -61,13 +61,18 @@ class Config:
     # DENSE_INT8_RESCORE (default) an int8 residual is kept alongside and
     # approx-mode candidates are rescored at ~15-bit precision: recall@10
     # ~1.0 at int8-scan speed, total HBM = bf16.  Rescore off: pure int8,
-    # 1/4 HBM, recall@10 ~0.98 (approximate).
+    # 1/4 HBM, recall@10 measured 0.977 — BELOW the 0.99 target the
+    # default config promises; validate() warns loudly on that combination.
     DENSE_INDEX_DTYPE: str = "float32"
     DENSE_INT8_RESCORE: bool = True
     # Search algorithm: "approx" = matmul + lax.approx_max_k two-stage
     # (TPU PartialReduce, ~2.2x the fused kernel's QPS at >=0.99 recall@10;
     # exact fallback off-TPU); "exact" = fused Pallas kernel with exact
     # (score desc, index asc) tie-break, bit-identical to a stable scan.
+    # NB: off-TPU (incl. the CPU test suite) approx_max_k lowers to exact
+    # top-k, so CI cannot catch a TPU-only recall regression in this
+    # default path — bench.py measures recall@10 on the real chip and
+    # fails loudly below 0.99 (see bench.py dense section).
     DENSE_SEARCH_MODE: str = "approx"
 
     # --- models ------------------------------------------------------------
@@ -136,8 +141,8 @@ class Config:
     KV_CACHE_DTYPE: str = "native"
     # Prompt-lookup speculative decoding: number of tokens drafted per
     # round by continuing the last bigram's most recent prompt occurrence,
-    # verified in one KV-bound forward.  0 = off.  Requires
-    # KV_CACHE_DTYPE="native".  TEMPERATURE=0 emits exactly the greedy
+    # verified in one KV-bound forward.  0 = off.  Composes with
+    # KV_CACHE_DTYPE="int8".  TEMPERATURE=0 emits exactly the greedy
     # continuation; TEMPERATURE>0 uses exact speculative sampling (the
     # output distribution equals the non-speculative sampler's).
     SPECULATIVE_DRAFT_LEN: int = 0
@@ -167,6 +172,15 @@ class Config:
         if self.DENSE_SEARCH_MODE not in {"approx", "exact"}:
             raise ValueError(
                 f"Unknown DENSE_SEARCH_MODE: {self.DENSE_SEARCH_MODE}")
+        if self.DENSE_INDEX_DTYPE == "int8" and not self.DENSE_INT8_RESCORE:
+            import warnings
+            warnings.warn(
+                "DENSE_INDEX_DTYPE='int8' with DENSE_INT8_RESCORE=False: "
+                "bare int8 scan recall@10 measured 0.977, below the 0.99 "
+                "target the default config promises.  Enable "
+                "DENSE_INT8_RESCORE (recall ~1.0 at the same scan cost) "
+                "unless the recall loss is deliberate.",
+                stacklevel=2)
         if self.SPECULATIVE_DRAFT_LEN:
             if not 0 < self.SPECULATIVE_DRAFT_LEN <= 15:
                 raise ValueError("SPECULATIVE_DRAFT_LEN must be in [0, 15]")

@@ -211,8 +211,14 @@ def bm25_topk_dispatch(term_ids, impacts, q_terms, q_weights, k,
 #
 #   * postings live in HBM as CSR: docs [P] / impacts [P] ordered by term,
 #     offsets [V+1] — the same triples Lucene keeps per segment;
-#   * each query term's list is read with W windowed contiguous gathers of
-#     S entries (W = ceil(max_df / S), static);
+#   * each query-term SLOT s reads its list with w_slots[s] windowed
+#     contiguous gathers of S entries — the per-slot counts are static and
+#     sized from the actual dfs of the batch's terms (callers sort each
+#     query's terms by df descending, so slot s's windows only need to
+#     cover the batch's s-th-largest df, NOT the global max df: per-query
+#     cost is O(sum df of the query's own terms), Lucene's cost model,
+#     even on Zipfian corpora where one ubiquitous term would otherwise
+#     inflate every query);
 #   * per-doc totals are formed WITHOUT scatter (TPU scatter-add is
 #     serial): candidates are sorted by doc id, and since a doc can appear
 #     at most once per query term, a run has length <= T — T static shifted
@@ -221,50 +227,68 @@ def bm25_topk_dispatch(term_ids, impacts, q_terms, q_weights, k,
 #     resolve to the smaller doc id — the same (score desc, id asc)
 #     tie-break as the scan kernel.
 #
-# Exact for every doc (no truncation): W covers the global max df.
+# Exact for every doc (no truncation): each slot's windows cover that
+# slot's max df across the batch.
 
 _DOC_SENTINEL = jnp.iinfo(jnp.int32).max
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w_max", "window"))
+@functools.partial(jax.jit, static_argnames=("k", "w_slots", "window"))
 def bm25_postings_topk(post_docs: jax.Array, post_imps: jax.Array,
                        offsets: jax.Array, q_terms: jax.Array,
-                       q_weights: jax.Array, k: int, w_max: int,
+                       q_weights: jax.Array, k: int,
+                       w_slots: int | Tuple[int, ...],
                        window: int = 512
                        ) -> Tuple[jax.Array, jax.Array]:
     """Exact BM25 top-k via device CSR postings.
 
     post_docs/post_imps: [P_pad] int32/f32 (term-major CSR, padded);
     offsets: [V+1] int32; q_terms: [Q, T] (PAD_TERM padded);
-    q_weights: [Q, T] f32 (term multiplicity); w_max*window >= max df.
+    q_weights: [Q, T] f32 (term multiplicity); w_slots: per-slot window
+    counts (tuple of length T; slots with 0 windows contribute nothing) —
+    w_slots[s]*window must be >= the max df of any term placed in slot s.
+    An int w_slots means that count for every slot (global-max sizing).
     Returns (scores [Q, k], doc ids [Q, k]); empty slots are (-inf, -1).
     """
     qn, t = q_terms.shape
+    if isinstance(w_slots, int):
+        w_slots = (w_slots,) * t
+    if len(w_slots) != t:
+        raise ValueError(f"w_slots has {len(w_slots)} entries for {t} slots")
     p_pad = post_docs.shape[0]
     safe_t = jnp.clip(q_terms, 0, offsets.shape[0] - 2)
     starts = offsets[safe_t]                      # [Q, T]
     lens = offsets[safe_t + 1] - starts
     lens = jnp.where(q_terms == PAD_TERM, 0, lens)
 
-    # windowed contiguous gathers: positions [Q, T, W*S]
-    span = jax.lax.iota(jnp.int32, w_max * window)
-    pos = starts[:, :, None] + span[None, None, :]
-    valid = span[None, None, :] < lens[:, :, None]
-    pos = jnp.clip(pos, 0, p_pad - 1)
-    docs = jnp.where(valid, post_docs[pos], _DOC_SENTINEL)
-    contrib = jnp.where(valid, post_imps[pos] * q_weights[:, :, None], 0.0)
-
-    m = t * w_max * window
-    docs = docs.reshape(qn, m)
-    contrib = contrib.reshape(qn, m).astype(jnp.float32)
+    # per-slot windowed contiguous gathers, concatenated on the candidate
+    # axis: [Q, M] with M = sum(w_slots)*window
+    docs_parts, contrib_parts = [], []
+    for s, ws in enumerate(w_slots):
+        if ws <= 0:
+            continue
+        span = jax.lax.iota(jnp.int32, ws * window)
+        pos = starts[:, s, None] + span[None, :]
+        valid = span[None, :] < lens[:, s, None]
+        pos = jnp.clip(pos, 0, p_pad - 1)
+        docs_parts.append(jnp.where(valid, post_docs[pos], _DOC_SENTINEL))
+        contrib_parts.append(
+            jnp.where(valid, post_imps[pos] * q_weights[:, s, None], 0.0))
+    if not docs_parts:
+        return (jnp.full((qn, k), NEG_INF, jnp.float32),
+                jnp.full((qn, k), -1, jnp.int32))
+    docs = jnp.concatenate(docs_parts, axis=1)
+    contrib = jnp.concatenate(contrib_parts, axis=1).astype(jnp.float32)
+    m = docs.shape[1]
 
     # sort candidates by doc id (payload: contrib); stable so the
     # float-add order within a run is deterministic
     docs_s, contrib_s = jax.lax.sort((docs, contrib), dimension=1,
                                      num_keys=1, is_stable=True)
-    # collapse runs (length <= T) onto their first element
+    # collapse runs (length <= #active slots) onto their first element
+    n_active = sum(1 for ws in w_slots if ws > 0)
     total = contrib_s
-    for j in range(1, min(t, m)):
+    for j in range(1, min(n_active, m)):
         same = jax.lax.slice_in_dim(docs_s, j, m, axis=1) == \
             jax.lax.slice_in_dim(docs_s, 0, m - j, axis=1)
         shifted = jax.lax.slice_in_dim(contrib_s, j, m, axis=1)

@@ -445,7 +445,7 @@ def rescored_topk_int8(queries: jax.Array, base_i8: jax.Array,
     gather+rescore is <0.05 ms — small M + rescore wins on both axes.
     """
     n = base_i8.shape[0]
-    mm = min(m if m is not None else max(4 * k, 40), n)
+    mm = _approx_candidates(k, n, m)
     q_i8, q_scales = quantize_last_axis_int8(queries)
     scores = jax.lax.dot_general(
         q_i8, base_i8, dimension_numbers=(((1,), (1,)), ((), ())),

@@ -157,7 +157,7 @@ def sharded_bm25_topk(term_ids: jax.Array, impacts: jax.Array,
 
 def sharded_bm25_postings_topk(post_docs: jax.Array, post_imps: jax.Array,
                                offsets: jax.Array, q_terms: jax.Array,
-                               q_weights: jax.Array, k: int, w_max: int,
+                               q_weights: jax.Array, k: int, w_slots,
                                mesh: Mesh, rows_per_shard: int,
                                window: int = 512, axis: str = "index"
                                ) -> Tuple[jax.Array, jax.Array]:
@@ -175,7 +175,7 @@ def sharded_bm25_postings_topk(post_docs: jax.Array, post_imps: jax.Array,
 
     def local(qt, qw, docs, imps, offs):
         vals, idx = bm25_postings_topk(docs[0], imps[0], offs[0], qt, qw,
-                                       k, w_max=w_max, window=window)
+                                       k, w_slots=w_slots, window=window)
         shard_id = jax.lax.axis_index(axis)
         row0 = shard_id * rows_per_shard
         gidx = jnp.where(idx >= 0, idx + row0, jnp.iinfo(jnp.int32).max)

@@ -173,32 +173,40 @@ class BM25Index:
         self.impacts = shard_rows(jnp.asarray(impacts), self.mesh, "index")
         self._build_postings(term_ids, impacts)
 
-    # postings window size: M = max_query_terms * w_max * window candidates
+    # postings window size: M = sum(per-slot windows) * window candidates
     # are sorted per query, so keep windows lane-sized
     POSTINGS_WINDOW = 512
+    # Candidate budget per query: if the batch's query terms' summed dfs
+    # exceed this many candidate entries, the postings walk (O(sum df of
+    # the query's terms)) is costlier than the flat scan kernel's
+    # O(N*Lp/Q) share — fall back to the scan engine with a loud note.
+    POSTINGS_CANDIDATE_BUDGET = 1 << 20
 
     def _build_postings(self, term_ids: np.ndarray, impacts: np.ndarray
                         ) -> None:
         """Device CSR postings for the O(sum df) engine (ops/bm25.py
         ``bm25_postings_topk``) — Lucene's own cost model, vs the scan
         kernel's O(N*Lp).  Sharded layout: per-shard CSR over its row
-        block, stacked [n_shards, ...] and row-sharded over the mesh."""
+        block, stacked [n_shards, ...] and row-sharded over the mesh.
+        Also keeps ``term_df_bound`` (host, [V]): per-term df, max over
+        shards — the per-slot gather-window bound at query time."""
         self.post_docs = self.post_imps = self.post_offsets = None
-        self.w_max = 1
+        self.term_df_bound = np.ones(max(len(self.vocab), 1), np.int64)
         self.rows_per_shard = term_ids.shape[0] // self.n_shards
         if self.engine != "postings":
             return
         n_vocab = max(len(self.vocab), 1)
         sr = self.rows_per_shard
-        docs_l, imps_l, offs_l, maxdf = [], [], [], 1
+        docs_l, imps_l, offs_l = [], [], []
+        df_bound = np.zeros(n_vocab, np.int64)
         for s in range(self.n_shards):
-            d, i, o, m = _csr_from_packed(term_ids[s * sr:(s + 1) * sr],
-                                          impacts[s * sr:(s + 1) * sr],
-                                          n_vocab)
+            d, i, o, _m = _csr_from_packed(term_ids[s * sr:(s + 1) * sr],
+                                           impacts[s * sr:(s + 1) * sr],
+                                           n_vocab)
             docs_l.append(d)
             imps_l.append(i)
             offs_l.append(o)
-            maxdf = max(maxdf, m)
+            np.maximum(df_bound, np.diff(o.astype(np.int64)), out=df_bound)
         p_pad = _round_up(max(max(len(d) for d in docs_l), 1), 128)
         docs = np.full((self.n_shards, p_pad), np.iinfo(np.int32).max,
                        np.int32)
@@ -210,7 +218,36 @@ class BM25Index:
         self.post_imps = shard_rows(jnp.asarray(imps), self.mesh, "index")
         self.post_offsets = shard_rows(jnp.asarray(np.stack(offs_l)),
                                        self.mesh, "index")
-        self.w_max = -(-maxdf // self.POSTINGS_WINDOW)
+        self.term_df_bound = df_bound
+
+    def _order_slots_by_df(self, q_terms: np.ndarray, q_weights: np.ndarray
+                           ) -> Tuple[np.ndarray, np.ndarray,
+                                      Tuple[int, ...]]:
+        """Sort each query's term slots by df descending (PAD last) and
+        size per-slot gather windows from the batch's ACTUAL dfs: slot s
+        needs ceil(max over batch of s-th-largest df / window) windows,
+        pow2-bucketed to bound recompiles.  Scoring is additive over
+        slots, so the reorder never changes results; it makes the
+        postings cost O(sum df of the query's own terms) instead of
+        O(T * global max df) (ADVICE r2 medium)."""
+        v = len(self.term_df_bound)
+        df = np.where(q_terms == PAD_TERM, np.int64(-1),
+                      self.term_df_bound[np.clip(q_terms, 0, v - 1)])
+        order = np.argsort(-df, axis=1, kind="stable")
+        q_terms = np.take_along_axis(q_terms, order, axis=1)
+        q_weights = np.take_along_axis(q_weights, order, axis=1)
+        dfmax = np.take_along_axis(df, order, axis=1).max(axis=0)
+        w_slots = []
+        for d in dfmax:
+            if d <= 0:
+                w_slots.append(0)
+                continue
+            need = -(-int(d) // self.POSTINGS_WINDOW)
+            ws = 1
+            while ws < need:
+                ws *= 2
+            w_slots.append(ws)
+        return q_terms, q_weights, tuple(w_slots)
 
     # ------------------------------------------------------------- search
     def encode_queries(self, queries: Sequence[str]
@@ -246,32 +283,32 @@ class BM25Index:
             return (np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]))
         q_terms, q_weights = self.encode_queries(queries)
-        if self.engine == "postings":
-            # bucket the query-term width (pad slots cost a full window of
-            # gather+sort each): typical analyzed queries have <=8 terms,
-            # while the packed cap is 32 — slicing to the bucketed max
-            # quarters the candidate sort. Buckets limit recompiles.
-            used = int(np.max(np.sum(q_terms != PAD_TERM, axis=1),
-                              initial=1))
-            t_bucket = 8
-            while t_bucket < used:
-                t_bucket *= 2
-            t_bucket = min(t_bucket, q_terms.shape[1])
-            q_terms = q_terms[:, :t_bucket]
-            q_weights = q_weights[:, :t_bucket]
-        if self.engine == "postings" and self.n_shards > 1:
+        use_postings = self.engine == "postings"
+        if use_postings:
+            q_terms, q_weights, w_slots = self._order_slots_by_df(
+                q_terms, q_weights)
+            m_total = sum(w_slots) * self.POSTINGS_WINDOW
+            if m_total > self.POSTINGS_CANDIDATE_BUDGET:
+                print(f"[bm25] Note: batch query terms sum to {m_total} "
+                      f"postings candidates (> budget "
+                      f"{self.POSTINGS_CANDIDATE_BUDGET}); the postings "
+                      "walk would be costlier than a flat scan — falling "
+                      "back to the scan engine for this batch.",
+                      flush=True)
+                use_postings = False
+        if use_postings and self.n_shards > 1:
             from sdag_tpu.parallel.collectives import \
                 sharded_bm25_postings_topk
             vals, idx = sharded_bm25_postings_topk(
                 self.post_docs, self.post_imps, self.post_offsets,
                 jnp.asarray(q_terms), jnp.asarray(q_weights), top_k,
-                w_max=self.w_max, window=self.POSTINGS_WINDOW,
+                w_slots=w_slots, window=self.POSTINGS_WINDOW,
                 mesh=self.mesh, rows_per_shard=self.rows_per_shard)
-        elif self.engine == "postings":
+        elif use_postings:
             vals, idx = bm25_postings_topk(
                 self.post_docs[0], self.post_imps[0], self.post_offsets[0],
                 jnp.asarray(q_terms), jnp.asarray(q_weights), top_k,
-                w_max=self.w_max, window=self.POSTINGS_WINDOW)
+                w_slots=w_slots, window=self.POSTINGS_WINDOW)
         elif self.n_shards > 1:
             from sdag_tpu.parallel.collectives import sharded_bm25_topk
             vals, idx = sharded_bm25_topk(

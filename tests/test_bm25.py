@@ -124,12 +124,67 @@ def test_postings_multi_window(monkeypatch):
     docs = [f"common filler{i % 5} extra{i}" for i in range(40)]
     ids = [f"d{i}" for i in range(len(docs))]
     index = BM25Index.from_texts(docs, ids, engine="postings")
-    assert index.w_max > 1  # 'common' has df=40 > window=8
+    assert int(index.term_df_bound.max()) == 40  # 'common': df=40 > window=8
     scan = BM25Index.from_texts(docs, ids, engine="scan")
     i1, s1 = index.search(["common extra7"], top_k=10)
     i2, s2 = scan.search(["common extra7"], top_k=10)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+def test_postings_windows_sized_by_query_df(monkeypatch):
+    """ADVICE r2 (medium): per-slot gather windows must be bounded by the
+    QUERY's own term dfs, not the global max df — a ubiquitous corpus term
+    absent from the query must not inflate its candidate set."""
+    monkeypatch.setattr(BM25Index, "POSTINGS_WINDOW", 8)
+    # 'ubiq' appears in all 200 docs; rare terms in ~4 each
+    docs = [f"ubiq rare{i % 50} tail{i}" for i in range(200)]
+    ids = [f"d{i}" for i in range(len(docs))]
+    index = BM25Index.from_texts(docs, ids, engine="postings")
+    qt, qw = index.encode_queries(["rare7 tail3"])
+    _, _, w_slots = index._order_slots_by_df(qt, qw)
+    # rare7 df=4, tail3 df=1 -> one window each; no slot sized for df=200
+    assert sum(w_slots) * index.POSTINGS_WINDOW < 200
+    # and a query WITH the ubiquitous term still scores exactly
+    scan = BM25Index.from_texts(docs, ids, engine="scan")
+    i1, s1 = index.search(["ubiq rare7"], top_k=5)
+    i2, s2 = scan.search(["ubiq rare7"], top_k=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+def test_postings_budget_falls_back_to_scan(monkeypatch, capsys):
+    """When the batch's summed query-term dfs exceed the candidate budget
+    the postings walk is costlier than a flat scan: search must fall back
+    to the scan engine (same ranking) and say so."""
+    monkeypatch.setattr(BM25Index, "POSTINGS_CANDIDATE_BUDGET", 64)
+    docs = [f"common extra{i}" for i in range(300)]
+    ids = [f"d{i}" for i in range(len(docs))]
+    index = BM25Index.from_texts(docs, ids, engine="postings")
+    scan = BM25Index.from_texts(docs, ids, engine="scan")
+    i1, s1 = index.search(["common extra5"], top_k=5)
+    assert "falling back to the scan engine" in capsys.readouterr().out
+    i2, s2 = scan.search(["common extra5"], top_k=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+def test_postings_fewer_than_k_matches_pins_na_slots():
+    """ADVICE r2 (low): when a query matches fewer than top_k docs the
+    postings engine returns (-1, -inf) slots — materialized as ''/'NA'
+    rows, matching Lucene's only-matching-docs contract
+    (reference ``sparse.py:99-102``) — NOT arbitrary zero-score docs.
+    Pinned for both engines: search() masks score<=0 slots identically."""
+    docs = ["alpha beta", "alpha gamma", "delta epsilon", "zeta eta"]
+    ids = [f"d{i}" for i in range(len(docs))]
+    for engine in ("postings", "scan"):
+        index = BM25Index.from_texts(docs, ids, engine=engine)
+        idx, scores = index.search(["alpha"], top_k=4)
+        assert (idx[0, :2] >= 0).all() and set(idx[0, :2]) == {0, 1}
+        assert (idx[0, 2:] == -1).all(), engine
+        assert np.isneginf(scores[0, 2:]).all(), engine
+        texts, ids_out, scs = index.materialize(idx, scores)
+        assert texts[0][2:] == ["", ""] and ids_out[0][2:] == ["NA", "NA"]
 
 
 def test_postings_op_matches_xla_scorer():
@@ -156,7 +211,7 @@ def test_postings_op_matches_xla_scorer():
     w_max = -(-max_df // w)
     vals, idx = bm25_postings_topk(
         jnp.asarray(docs), jnp.asarray(imps), jnp.asarray(offsets),
-        jnp.asarray(q_terms), jnp.asarray(q_weights), 5, w_max=w_max,
+        jnp.asarray(q_terms), jnp.asarray(q_weights), 5, w_slots=w_max,
         window=w)
     scores = np.asarray(bm25_scores_xla(
         jnp.asarray(term_ids), jnp.asarray(impacts), jnp.asarray(q_terms),

@@ -95,6 +95,25 @@ def test_config_validate_sdag_doc_block_cap():
     cfg.validate()  # 10 + 5 <= 31: fine with neighbors too
 
 
+def test_config_bare_int8_dense_warns():
+    """DENSE_INDEX_DTYPE=int8 without the residual rescore measured
+    recall@10 0.977 < the 0.99 target (VERDICT r2 weak item) — validate()
+    must warn loudly; the default rescore-on combination must not."""
+    import warnings
+    import pytest
+    from sdag_tpu.config import Config
+
+    cfg = Config()
+    cfg.DENSE_INDEX_DTYPE = "int8"
+    cfg.DENSE_INT8_RESCORE = False
+    with pytest.warns(UserWarning, match="recall@10"):
+        cfg.validate()
+    cfg.DENSE_INT8_RESCORE = True
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        cfg.validate()
+
+
 def test_config_reference_key_compat():
     """A reference-style JSON config loads unchanged: renamed keys map via
     aliases (FAISS path, lowercase gen-token names, the RNAKED typo) and
