@@ -22,11 +22,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def maybe_init_distributed() -> None:
-    """Initialize jax.distributed when launched multi-host (DCN).  No-op in
-    single-process runs."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+def maybe_init_distributed() -> bool:
+    """Initialize jax.distributed when launched multi-host (DCN; exercised
+    by the 2-process CPU test, tests/test_distributed_dcn.py).  No-op in
+    single-process runs.  Config via the standard env vars:
+    JAX_COORDINATOR_ADDRESS (+ JAX_NUM_PROCESSES / JAX_PROCESS_ID where the
+    cluster environment doesn't auto-detect them).  Returns True when the
+    distributed runtime is (now) initialized."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return False
+    from jax._src import distributed as _dist
+    if _dist.global_state.client is not None:
+        return True  # already initialized
+    kw = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        kw["process_id"] = int(os.environ.get("JAX_PROCESS_ID", "0"))
+    jax.distributed.initialize(**kw)
+    return True
 
 
 def make_mesh(data: int = 0, model: int = 1,

@@ -30,7 +30,7 @@ from sdag_tpu.eval.normalization import exact_match, extract_final_answer
 from sdag_tpu.eval.writers import save_metrics_json, save_results
 from sdag_tpu.pipeline.resources import (build_defense, build_retriever,
                                          init_resources)
-from sdag_tpu.sdag.knn import compute_doc_knn_for_docs
+from sdag_tpu.sdag.knn import compute_doc_knn_for_docs_batch
 from sdag_tpu.sdag.spans import build_plain_chat_ids, build_rag_prompt_plan
 from sdag_tpu.utils import prompts
 from sdag_tpu.utils.parsing import load_from_csv, load_sampled_queries_json
@@ -121,7 +121,6 @@ def generate_iso_batch(cfg: Config, res: Resources, queries: List[str],
     """Batched document-isolation generation (reference runs this per query,
     ``main.py:469-496``; the mask/span semantics are identical)."""
     plans = []
-    neighbors = []
     for q, docs_ranked, mals in zip(queries, defended_docs_batch,
                                     survived_mals_batch):
         block_align = getattr(res.generator, "block_align", 0)
@@ -135,11 +134,12 @@ def generate_iso_batch(cfg: Config, res: Resources, queries: List[str],
             plan = build_rag_prompt_plan(res.tokenizer, q, list(docs_ranked),
                                          block_align=block_align)
         plans.append(plan)
-        if cfg.DOC_NEIGHBORS_K and cfg.DOC_NEIGHBORS_K > 0:
-            neighbors.append(compute_doc_knn_for_docs(
-                res.ranker, plan.ranked_docs, cfg.DOC_NEIGHBORS_K))
-        else:
-            neighbors.append(None)
+    if cfg.DOC_NEIGHBORS_K and cfg.DOC_NEIGHBORS_K > 0:
+        # one encode per batch, not one per query
+        neighbors = compute_doc_knn_for_docs_batch(
+            res.ranker, [p.ranked_docs for p in plans], cfg.DOC_NEIGHBORS_K)
+    else:
+        neighbors = [None] * len(plans)
 
     answers: List[str] = []
     bs = max(1, cfg.LLM_BATCH_SIZE)
@@ -271,11 +271,17 @@ def run_pair_doc_corruption_for_batch(
     timer: PhaseTimer,
 ) -> List[Dict[str, Any]]:
     """Corrupt GT-bearing retrieved docs instead of injecting
-    (reference ``main.py:557-695``; one row per attacked doc)."""
+    (reference ``main.py:557-695``; one row per attacked doc).
+
+    All (query, attacked-doc) items of the batch are collected first and
+    generated together in LLM_BATCH_SIZE chunks — the reference (and
+    round-2 code) generated each candidate at batch=1, which made the
+    corruption gen phase ~2x slower than the injection runs."""
     k_plus_one = pair.top_k + 1
     rows: List[Dict[str, Any]] = []
 
     for _shuffle in range(num_shuffles_for_prompt_order(cfg)):
+        items: List[Dict[str, Any]] = []
         for qid, q, gts, docs_full, ids_full, fa_list in zip(
                 batch_qids, batch_qs, batch_gts, retrieval_docs_full,
                 retrieval_ids_full, false_groups_batch):
@@ -297,34 +303,48 @@ def run_pair_doc_corruption_for_batch(
                 ids_for_prompt = build_docs_for_attack(
                     list(ids_pool), attacked_idx, pair.attacker_pos,
                     k_plus_one, rng=rng)
-
-                with timer.phase("generate_iso"):
-                    a_iso = generate_iso_batch(
-                        cfg, res, [q], [docs_for_prompt], [[]], 0, rng)[0]
-                with timer.phase("generate_noiso"):
-                    a_noiso = generate_noiso_batch(
-                        cfg, res, [q], [docs_for_prompt], [[]], 0, rng)[0]
-
-                iso_clean = extract_final_answer(a_iso)
-                noiso_clean = extract_final_answer(a_noiso)
-                rows.append({
-                    "query_id": qid,
-                    "question": q,
-                    "short_answers": gts,
-                    "false_answer": [false_ans],
-                    "malicious_doc": poisoned,
-                    "retrieved_docs": [d for i, d in enumerate(docs_pool)
-                                       if i != attacked_idx],
-                    "retrieved_doc_ids": list(ids_for_prompt),
-                    "rag_answer_iso": iso_clean,
-                    "rag_answer_noiso": noiso_clean,
-                    "ground_truth_match_iso":
-                        any(exact_match(iso_clean, gt) for gt in gts),
-                    "ground_truth_match_noiso":
-                        any(exact_match(noiso_clean, gt) for gt in gts),
-                    "false_match_iso": exact_match(iso_clean, false_ans),
-                    "false_match_noiso": exact_match(noiso_clean, false_ans),
+                items.append({
+                    "qid": qid, "q": q, "gts": gts, "false_ans": false_ans,
+                    "poisoned": poisoned, "docs_pool": docs_pool,
+                    "attacked_idx": attacked_idx,
+                    "docs_for_prompt": docs_for_prompt,
+                    "ids_for_prompt": ids_for_prompt,
                 })
+
+        if not items:
+            continue
+        qs = [it["q"] for it in items]
+        docs_b = [it["docs_for_prompt"] for it in items]
+        empties = [[] for _ in items]
+        with timer.phase("generate_iso"):
+            answers_iso = generate_iso_batch(
+                cfg, res, qs, docs_b, empties, 0, rng)
+        with timer.phase("generate_noiso"):
+            answers_noiso = generate_noiso_batch(
+                cfg, res, qs, docs_b, empties, 0, rng)
+
+        for it, a_iso, a_noiso in zip(items, answers_iso, answers_noiso):
+            iso_clean = extract_final_answer(a_iso)
+            noiso_clean = extract_final_answer(a_noiso)
+            gts, false_ans = it["gts"], it["false_ans"]
+            rows.append({
+                "query_id": it["qid"],
+                "question": it["q"],
+                "short_answers": gts,
+                "false_answer": [false_ans],
+                "malicious_doc": it["poisoned"],
+                "retrieved_docs": [d for i, d in enumerate(it["docs_pool"])
+                                   if i != it["attacked_idx"]],
+                "retrieved_doc_ids": list(it["ids_for_prompt"]),
+                "rag_answer_iso": iso_clean,
+                "rag_answer_noiso": noiso_clean,
+                "ground_truth_match_iso":
+                    any(exact_match(iso_clean, gt) for gt in gts),
+                "ground_truth_match_noiso":
+                    any(exact_match(noiso_clean, gt) for gt in gts),
+                "false_match_iso": exact_match(iso_clean, false_ans),
+                "false_match_noiso": exact_match(noiso_clean, false_ans),
+            })
     return rows
 
 

@@ -71,12 +71,20 @@ def build_encoder(cfg: Config) -> E5Encoder:
 
 
 def build_generator(cfg: Config) -> Generator:
+    from sdag_tpu.models.native_ckpt import is_native_checkpoint
     dec_cfg = _decoder_config(cfg.LLM_ARCH)
-    tok = load_tokenizer(cfg.LLM_CHECKPOINT)
-    if cfg.LLM_CHECKPOINT:
+    if is_native_checkpoint(cfg.LLM_CHECKPOINT):
+        # trained-in-repo checkpoint (e.g. the synthetic-QA decoder from
+        # pipeline/train_qa.py): byte tokenizer, npz params
+        from sdag_tpu.models.native_ckpt import load_decoder
+        tok = load_tokenizer("")
+        params, dec_cfg = load_decoder(cfg.LLM_CHECKPOINT)
+    elif cfg.LLM_CHECKPOINT:
         from sdag_tpu.models.hf_convert import load_decoder_checkpoint
+        tok = load_tokenizer(cfg.LLM_CHECKPOINT)
         params, dec_cfg = load_decoder_checkpoint(cfg.LLM_CHECKPOINT)
     else:
+        tok = load_tokenizer("")
         params = init_decoder_params(jax.random.PRNGKey(cfg.SEED + 1),
                                      dec_cfg)
     tp_mesh = None

@@ -1,0 +1,214 @@
+"""Train a tiny decoder on synthetic answer-from-context QA.
+
+Purpose: demonstrate the reference paper's effect — document isolation
+(ISO) suppressing the poisoning attack success rate vs causal attention
+(NO-ISO) — which needs a model whose ACC is meaningfully above zero.  Real
+pretrained checkpoints don't exist offline, so this trains one from scratch
+on the synthetic world of utils/synth_qa.py, using the repo's own sharded
+train step (parallel/train.py) and prompt planner (sdag/spans.py), then
+saves a native checkpoint the pipeline loads via ``LLM_CHECKPOINT``
+(models/native_ckpt.py).
+
+Faithfulness notes:
+  * Training prompts are built by the SAME code path the pipeline serves
+    with (``build_rag_prompt_plan`` + the reference-identical
+    ``USER_RAG_PROMPT`` template), so there is no train/serve skew.
+  * Examples mix ISO-masked and causal prefills 50/50: the experiment
+    compares the two modes on one model, so both must be in-distribution
+    (a pretrained LLM is likewise competent at both).
+  * Training data is CLEAN — no poisoned documents are ever shown, so the
+    attack evaluation measures an unseen attack, like the reference's.
+  * ~25% of entities are held out entirely; eval on them proves the model
+    answers by READING the context, not by memorizing facts.
+
+CLI::
+
+    python -m sdag_tpu.pipeline.train_qa --out ckpt_dir [--steps 3000] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdag_tpu.core.mesh import make_mesh
+from sdag_tpu.models.llama import (DecoderConfig, init_decoder_params,
+                                   prefill)
+from sdag_tpu.models.native_ckpt import save_decoder
+from sdag_tpu.models.tokenizer import ByteTokenizer
+from sdag_tpu.parallel.train import make_optimizer, make_sharded_train_step
+from sdag_tpu.sdag.spans import build_rag_prompt_plan
+from sdag_tpu.utils.synth_qa import (Fact, World, fact_doc, fact_query,
+                                     make_world, save_world)
+
+
+def build_example(rng: np.random.Generator, tokenizer, fact: Fact,
+                  pool: List[Fact], k: int, iso: bool, seq_len: int
+                  ) -> Optional[Dict[str, np.ndarray]]:
+    """One training example: k-doc RAG prompt (GT doc at a random rank,
+    distractors drawn from other facts) + the answer, loss on the answer
+    tokens only.  iso=True applies the SDAG doc metadata at prefill;
+    iso=False is the plain causal (NO-ISO) prefill."""
+    others = [f for f in pool if f is not fact]
+    picks = rng.choice(len(others), size=min(k - 1, len(others)),
+                       replace=False)
+    docs = [fact_doc(others[int(i)]) for i in picks]
+    docs.insert(int(rng.integers(0, len(docs) + 1)), fact_doc(fact))
+    plan = build_rag_prompt_plan(tokenizer, fact_query(fact), docs)
+    ans = (tokenizer.encode(fact.value, add_special_tokens=False)
+           + [tokenizer.eos_token_id])
+    ids = list(plan.input_ids) + ans
+    if len(ids) > seq_len:
+        return None
+    doc_id, nbr_bits, sys_len = plan.metadata(pad_to=seq_len)
+    if not iso:
+        doc_id = np.full_like(doc_id, -1)
+        sys_len = 0
+    prompt_len = len(plan.input_ids)
+    input_ids = np.full(seq_len, tokenizer.pad_token_id, np.int32)
+    input_ids[:len(ids)] = ids
+    targets = np.zeros(seq_len, np.int32)
+    targets[:len(ids) - 1] = ids[1:]
+    loss_mask = np.zeros(seq_len, np.float32)
+    loss_mask[prompt_len - 1:len(ids) - 1] = 1.0   # predicts the answer
+    return {"input_ids": input_ids, "targets": targets, "doc_id": doc_id,
+            "nbr_bits": nbr_bits,
+            "sys_user_len": np.int32(sys_len),
+            "valid_len": np.int32(len(ids)), "loss_mask": loss_mask}
+
+
+def sample_batch(rng: np.random.Generator, tokenizer, pool: List[Fact],
+                 batch: int, seq_len: int, k_min: int = 2, k_max: int = 10,
+                 iso_frac: float = 0.5) -> Dict[str, jnp.ndarray]:
+    exs = []
+    while len(exs) < batch:
+        fact = pool[int(rng.integers(len(pool)))]
+        k = int(rng.integers(k_min, k_max + 1))
+        ex = build_example(rng, tokenizer, fact, pool, k,
+                           iso=bool(rng.random() < iso_frac),
+                           seq_len=seq_len)
+        if ex is not None:
+            exs.append(ex)
+    return {key: jnp.asarray(np.stack([e[key] for e in exs]))
+            for key in exs[0]}
+
+
+def teacher_forced_eval(params, cfg: DecoderConfig, tokenizer,
+                        eval_pool: List[Fact], distract_pool: List[Fact],
+                        seq_len: int, n: int = 32, k: int = 5,
+                        seed: int = 123) -> Dict[str, float]:
+    """Answer-token argmax accuracy on held-out entities, per mode.
+    full = all answer tokens of an example correct (proxy for gen ACC)."""
+    rng = np.random.default_rng(seed)
+    out = {}
+    fwd = jax.jit(lambda p, b: prefill(
+        p, cfg, b["input_ids"], doc_id=b["doc_id"], nbr_bits=b["nbr_bits"],
+        sys_user_len=b["sys_user_len"], valid_len=b["valid_len"],
+        attn_impl="xla", with_cache=False)[0])
+    for mode, iso in (("iso", True), ("noiso", False)):
+        exs = []
+        while len(exs) < n:
+            fact = eval_pool[int(rng.integers(len(eval_pool)))]
+            ex = build_example(rng, tokenizer, fact, distract_pool + [fact],
+                               k, iso=iso, seq_len=seq_len)
+            if ex is not None:
+                exs.append(ex)
+        batch = {key: jnp.asarray(np.stack([e[key] for e in exs]))
+                 for key in exs[0]}
+        logits = np.asarray(fwd(params, batch))
+        pred = logits.argmax(-1)
+        m = np.asarray(batch["loss_mask"]) > 0
+        tgt = np.asarray(batch["targets"])
+        tok_acc = float((pred[m] == tgt[m]).mean())
+        full = float(np.mean([
+            (pred[i][m[i]] == tgt[i][m[i]]).all() for i in range(n)]))
+        out[f"tok_acc_{mode}"] = round(tok_acc, 4)
+        out[f"full_acc_{mode}"] = round(full, 4)
+    return out
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--entities", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--d-model", type=int, default=192)
+    p.add_argument("--layers", type=int, default=6)
+    p.add_argument("--heads", type=int, default=6)
+    p.add_argument("--kv-heads", type=int, default=6)
+    p.add_argument("--d-ff", type=int, default=512)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--seq-len", type=int, default=768)
+    p.add_argument("--k-max", type=int, default=10)
+    p.add_argument("--eval-every", type=int, default=250)
+    p.add_argument("--mesh-data", type=int, default=0)
+    p.add_argument("--save-every", type=int, default=0,
+                   help="also checkpoint every N steps (resumable)")
+    args = p.parse_args(argv)
+
+    world = make_world(args.entities, seed=args.seed)
+    tokenizer = ByteTokenizer()
+    cfg = DecoderConfig(vocab_size=tokenizer.vocab_size,
+                        d_model=args.d_model, n_layers=args.layers,
+                        n_heads=args.heads, n_kv_heads=args.kv_heads,
+                        d_ff=args.d_ff)
+    train_pool = world.facts_for(world.train_entities)
+    eval_pool = world.facts_for(world.eval_entities)
+    print(f"[train_qa] world: {len(world.facts)} facts, "
+          f"{len(world.train_entities)} train / "
+          f"{len(world.eval_entities)} eval entities; "
+          f"model {sum(x.size for x in jax.tree.leaves(init_decoder_params(jax.random.PRNGKey(0), cfg)))/1e6:.2f}M params",
+          flush=True)
+
+    mesh = make_mesh(data=args.mesh_data, model=1)
+    init_state, step_fn = make_sharded_train_step(
+        cfg, mesh, optimizer=make_optimizer(args.lr))
+    params = init_decoder_params(jax.random.PRNGKey(args.seed), cfg)
+    state = init_state(params)
+
+    rng = np.random.default_rng(args.seed + 7)
+    extra = {"trained_on": "synth_qa", "steps": args.steps,
+             "entities": args.entities, "seed": args.seed,
+             "k_max": args.k_max, "seq_len": args.seq_len}
+
+    def save(st, tag=""):
+        save_decoder(st.params, cfg, args.out, extra=extra)
+        save_world(world, os.path.join(args.out, "world.json"))
+        if tag:
+            print(f"[train_qa] saved checkpoint ({tag})", flush=True)
+
+    t0 = time.time()
+    losses = []
+    for step in range(1, args.steps + 1):
+        batch = sample_batch(rng, tokenizer, train_pool, args.batch,
+                             args.seq_len, k_max=args.k_max)
+        state, loss = step_fn(state, batch)
+        losses.append(float(loss))
+        if step % 50 == 0:
+            print(f"[train_qa] step {step}/{args.steps} "
+                  f"loss {np.mean(losses[-50:]):.4f} "
+                  f"({(time.time() - t0) / step:.2f}s/step)", flush=True)
+        if step % args.eval_every == 0 or step == args.steps:
+            ev = teacher_forced_eval(state.params, cfg, tokenizer,
+                                     eval_pool, train_pool, args.seq_len)
+            print(f"[train_qa] step {step} heldout {ev}", flush=True)
+            extra["final_eval"] = ev
+        if args.save_every and step % args.save_every == 0:
+            save(state, tag=f"step {step}")
+
+    save(state, tag="final")
+    print(f"[train_qa] done in {time.time() - t0:.0f}s -> {args.out}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
