@@ -12,13 +12,16 @@
 // runs on device (sdag_tpu/ops/bm25.py).
 //
 // UAX#29 subset implemented (covers Wikipedia-scale corpora):
-//   - words = runs of Unicode letters/digits (category L* / Nd)
-//   - medial joins with one-codepoint lookahead: apostrophe between
+//   - words = runs of Unicode letters/digits (category L*, Nl / Nd)
+//   - WB4: Extend (Mn/Mc/Me) and Format (Cf minus U+200B) are transparent
+//     and ride inside the token (combining accents, ZWJ/ZWNJ, Devanagari
+//     matras, kana voicing marks); join rules look through them
+//   - medial joins with lookahead over transparents: apostrophe between
 //     letters ("don't", "o'brien"), '.'/U+FF0E between letters or between
 //     digits ("example.com", "3.14"), ',' between digits ("1,000")
-//   - '_' (ExtendNumLet) joins into word tokens
+//   - '_' (ExtendNumLet, WB13a/b) joins word and Katakana tokens
 //   - Han and Hiragana ideograms tokenize one per codepoint; Katakana in
-//     runs (WB13); a Katakana<->ALetter join across '_' is not chained
+//     runs (WB13)
 //   - tokens cap at 255 codepoints (StandardTokenizer maxTokenLength)
 // Known deviations are mirrored bit-for-bit by the Python fallback
 // (retrieval/analyzer.py) and covered by tests/fixtures golden cases.
@@ -73,7 +76,8 @@ uint32_t to_lower(uint32_t cp) {
 }
 
 enum Cls : uint8_t {
-  OTHER = 0, LETTER, DIGIT, HAN, HIRA, KATA, APOS, DOT, COMMA, UNDER
+  OTHER = 0, LETTER, DIGIT, HAN, HIRA, KATA, APOS, DOT, COMMA, UNDER,
+  EXTEND
 };
 
 Cls classify(uint32_t cp) {
@@ -90,6 +94,10 @@ Cls classify(uint32_t cp) {
   }
   if (cp == 0x2019 || cp == 0xFF07) return APOS;  // ' fullwidth '
   if (cp == 0xFF0E) return DOT;                   // fullwidth .
+  // UAX#29 WB4 transparent chars (Extend: Mn/Mc/Me; Format: Cf minus
+  // U+200B) BEFORE the script ranges: U+3099/309A sit inside the
+  // Hiragana block but are Mn combining marks
+  if (in_ranges(cp, kExtendRanges, kExtendRangesCount)) return EXTEND;
   // CJK before the general letter table (Han/Kana are category Lo)
   if ((cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
       (cp >= 0xF900 && cp <= 0xFAFF) || (cp >= 0x20000 && cp <= 0x2FA1F))
@@ -396,7 +404,10 @@ void analyze_doc(const char* begin, const char* end, std::string* out) {
   U32 cur;
   bool cur_has_alnum = false;
   bool first = true;
-  Cls mode = OTHER;  // WORD-ish (LETTER) or KATA run
+  // class of the token's last non-Extend codepoint: WB4 transparency —
+  // combining marks / format chars inside a token never perturb the
+  // WB5-WB13 join rules around them
+  Cls last_base = OTHER;
 
   auto flush = [&]() {
     if (!cur.empty() && cur_has_alnum) {
@@ -423,60 +434,72 @@ void analyze_doc(const char* begin, const char* end, std::string* out) {
     }
     cur.clear();
     cur_has_alnum = false;
-    mode = OTHER;
+    last_base = OTHER;
   };
 
   const size_t n = cps.size();
+  // class of the next non-Extend codepoint after i (WB4 skip)
+  auto next_base = [&](size_t i) -> Cls {
+    for (size_t j = i + 1; j < n; ++j)
+      if (cls[j] != EXTEND) return cls[j];
+    return OTHER;
+  };
+
   for (size_t i = 0; i < n; ++i) {
     const Cls c = cls[i];
     if (static_cast<int>(cur.size()) >= kMaxTokenLen && is_alnum_cls(c))
       flush();
     switch (c) {
+      case EXTEND:  // WB4: attach to the open token, never break
+        if (!cur.empty()) cur.push_back(cps[i]);
+        break;
       case HAN:
       case HIRA:
+        // one token per ideograph (kept open so trailing Extend marks
+        // attach); nothing joins across it
         flush();
         cur.push_back(cps[i]);
         cur_has_alnum = true;
-        flush();
+        last_base = c;
         break;
       case KATA:
-        if (mode != KATA) flush();
-        mode = KATA;
+        if (last_base != KATA && last_base != UNDER) flush();  // WB13/13b
         cur.push_back(cps[i]);
         cur_has_alnum = true;
+        last_base = KATA;
         break;
       case LETTER:
       case DIGIT:
-        if (mode == KATA) flush();
-        mode = LETTER;
+        if (last_base == HAN || last_base == HIRA || last_base == KATA)
+          flush();
         cur.push_back(cps[i]);
         cur_has_alnum = true;
+        last_base = c;
         break;
-      case UNDER:  // ExtendNumLet joins into word tokens
-        if (mode == KATA) flush();
-        mode = LETTER;
+      case UNDER:  // ExtendNumLet (WB13a/b): joins words/katakana
+        if (last_base == HAN || last_base == HIRA) flush();
         cur.push_back(cps[i]);
+        last_base = UNDER;
         break;
-      case APOS:  // MidLetter: letter ' letter
-        if (mode == LETTER && !cur.empty() && classify(cur.back()) == LETTER
-            && i + 1 < n && cls[i + 1] == LETTER) {
+      case APOS:  // MidLetter (WB6/7): letter ' letter
+        if (last_base == LETTER && next_base(i) == LETTER) {
           cur.push_back(cps[i]);
         } else {
           flush();
         }
         break;
-      case DOT:  // MidNumLet: letter.letter or digit.digit
-        if (mode == LETTER && !cur.empty() && i + 1 < n &&
-            ((classify(cur.back()) == LETTER && cls[i + 1] == LETTER) ||
-             (classify(cur.back()) == DIGIT && cls[i + 1] == DIGIT))) {
+      case DOT: {  // MidNumLet: letter.letter / MidNum: digit.digit
+        const Cls nb = next_base(i);
+        if ((last_base == LETTER && nb == LETTER) ||
+            (last_base == DIGIT && nb == DIGIT)) {
           cur.push_back(cps[i]);
         } else {
           flush();
         }
         break;
-      case COMMA:  // MidNum: digit,digit
-        if (mode == LETTER && !cur.empty() && i + 1 < n &&
-            classify(cur.back()) == DIGIT && cls[i + 1] == DIGIT) {
+      }
+      case COMMA:  // MidNum (WB11/12): digit,digit
+        if (last_base == DIGIT && next_base(i) == DIGIT) {
           cur.push_back(cps[i]);
         } else {
           flush();

@@ -84,6 +84,54 @@ def make_sharded_train_step(cfg: DecoderConfig, mesh: Mesh,
     return init_state, jit_step
 
 
+def make_sharded_train_scan(cfg: DecoderConfig, mesh: Mesh,
+                            optimizer: Optional[
+                                optax.GradientTransformation] = None,
+                            attn_impl: str = "xla",
+                            preprocess=None):
+    """Compile-amortized variant of :func:`make_sharded_train_step`:
+    returns (init_state_fn, scan_fn) where ``scan_fn(state, stacked)``
+    runs ``lax.scan`` over a [S, ...]-stacked dict of S batches in ONE
+    jitted call and returns (state, losses [S]).
+
+    Motivation: on a remote-relay TPU link (axon), per-dispatch RTT plus
+    per-batch host->device upload dominate small-model training steps
+    (~1.5-2.4 s/step measured for a 2.8M-param model whose compute is
+    <5 ms); scanning S steps per dispatch amortizes both.  ``preprocess``
+    (optional) maps each per-step batch inside the scan body — e.g.
+    decompressing int16/int8 wire dtypes back to int32/f32 so the host
+    uploads ~4x fewer bytes."""
+    optimizer = optimizer or make_optimizer()
+
+    def init_state(params) -> TrainState:
+        params = shard_params(params, cfg, mesh)
+        opt_state = optimizer.init(params)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=jnp.zeros((), jnp.int32))
+
+    def one_step(state: TrainState, batch):
+        if preprocess is not None:
+            batch = preprocess(batch)
+        loss, grads = jax.value_and_grad(lm_loss)(state.params, cfg, batch,
+                                                  attn_impl)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def scan_fn(state: TrainState, stacked):
+        return jax.lax.scan(one_step, state, stacked)
+
+    bspecs = batch_specs()
+    stacked_sh = {k: NamedSharding(mesh, P(None, *v))
+                  for k, v in bspecs.items()}
+    jit_scan = jax.jit(scan_fn,
+                       in_shardings=(None, stacked_sh),
+                       out_shardings=(None, NamedSharding(mesh, P())),
+                       donate_argnums=(0,))
+    return init_state, jit_scan
+
+
 def make_dummy_batch(cfg: DecoderConfig, batch: int, seq_len: int,
                      num_docs: int = 2):
     """Tiny synthetic SDAG-masked LM batch for dry runs and tests."""

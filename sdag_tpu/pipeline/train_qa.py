@@ -43,7 +43,9 @@ from sdag_tpu.models.llama import (DecoderConfig, init_decoder_params,
                                    prefill)
 from sdag_tpu.models.native_ckpt import save_decoder
 from sdag_tpu.models.tokenizer import ByteTokenizer
-from sdag_tpu.parallel.train import make_optimizer, make_sharded_train_step
+from sdag_tpu.parallel.train import (make_optimizer,
+                                     make_sharded_train_scan,
+                                     make_sharded_train_step)
 from sdag_tpu.sdag.spans import build_rag_prompt_plan
 from sdag_tpu.utils.synth_qa import (Fact, World, fact_doc, fact_query,
                                      make_world, save_world)
@@ -100,6 +102,48 @@ def sample_batch(rng: np.random.Generator, tokenizer, pool: List[Fact],
             for key in exs[0]}
 
 
+# Wire compression for the remote-relay link: ids fit in int16 (byte vocab),
+# doc_id/nbr_bits in int8 (<=31 docs), loss_mask in uint8 — ~4x fewer bytes
+# per uploaded batch.  Decompressed on device inside the scan body.
+_WIRE_DTYPES = {"input_ids": np.int16, "targets": np.int16,
+                "doc_id": np.int8, "nbr_bits": np.int8,
+                "sys_user_len": np.int32, "valid_len": np.int32,
+                "loss_mask": np.uint8}
+
+
+def compress_batch_np(exs: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {k: np.stack([e[k] for e in exs]).astype(dt)
+            for k, dt in _WIRE_DTYPES.items()}
+
+
+def decompress_batch(batch):
+    out = {k: batch[k].astype(jnp.int32) for k in
+           ("input_ids", "targets", "doc_id", "nbr_bits",
+            "sys_user_len", "valid_len")}
+    out["loss_mask"] = batch["loss_mask"].astype(jnp.float32)
+    return out
+
+
+def sample_batch_stack(rng: np.random.Generator, tokenizer,
+                       pool: List[Fact], chunk: int, batch: int,
+                       seq_len: int, k_min: int = 2, k_max: int = 10,
+                       iso_frac: float = 0.5) -> Dict[str, np.ndarray]:
+    """[S, B, ...] stack of S compressed batches for the scan driver."""
+    stacks = []
+    for _ in range(chunk):
+        exs = []
+        while len(exs) < batch:
+            fact = pool[int(rng.integers(len(pool)))]
+            k = int(rng.integers(k_min, k_max + 1))
+            ex = build_example(rng, tokenizer, fact, pool, k,
+                               iso=bool(rng.random() < iso_frac),
+                               seq_len=seq_len)
+            if ex is not None:
+                exs.append(ex)
+        stacks.append(compress_batch_np(exs))
+    return {k: np.stack([s[k] for s in stacks]) for k in stacks[0]}
+
+
 def teacher_forced_eval(params, cfg: DecoderConfig, tokenizer,
                         eval_pool: List[Fact], distract_pool: List[Fact],
                         seq_len: int, n: int = 32, k: int = 5,
@@ -151,6 +195,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--k-max", type=int, default=10)
     p.add_argument("--eval-every", type=int, default=250)
     p.add_argument("--mesh-data", type=int, default=0)
+    p.add_argument("--scan-chunk", type=int, default=25,
+                   help="steps per jitted lax.scan call (amortizes "
+                        "dispatch RTT on remote-relay links); 1 = plain "
+                        "per-step dispatch")
     p.add_argument("--save-every", type=int, default=0,
                    help="also checkpoint every N steps (resumable)")
     args = p.parse_args(argv)
@@ -170,8 +218,14 @@ def main(argv: Optional[List[str]] = None) -> None:
           flush=True)
 
     mesh = make_mesh(data=args.mesh_data, model=1)
-    init_state, step_fn = make_sharded_train_step(
-        cfg, mesh, optimizer=make_optimizer(args.lr))
+    chunk = max(1, args.scan_chunk)
+    if chunk > 1:
+        init_state, scan_fn = make_sharded_train_scan(
+            cfg, mesh, optimizer=make_optimizer(args.lr),
+            preprocess=decompress_batch)
+    else:
+        init_state, step_fn = make_sharded_train_step(
+            cfg, mesh, optimizer=make_optimizer(args.lr))
     params = init_decoder_params(jax.random.PRNGKey(args.seed), cfg)
     state = init_state(params)
 
@@ -187,22 +241,37 @@ def main(argv: Optional[List[str]] = None) -> None:
             print(f"[train_qa] saved checkpoint ({tag})", flush=True)
 
     t0 = time.time()
-    losses = []
-    for step in range(1, args.steps + 1):
-        batch = sample_batch(rng, tokenizer, train_pool, args.batch,
-                             args.seq_len, k_max=args.k_max)
-        state, loss = step_fn(state, batch)
-        losses.append(float(loss))
-        if step % 50 == 0:
+    losses: list = []
+    step = 0
+    while step < args.steps:
+        if chunk > 1:
+            s = min(chunk, args.steps - step)
+            stacked = sample_batch_stack(rng, tokenizer, train_pool, s,
+                                         args.batch, args.seq_len,
+                                         k_max=args.k_max)
+            state, ls = scan_fn(state, {k: jnp.asarray(v)
+                                        for k, v in stacked.items()})
+            losses.extend(float(x) for x in np.asarray(ls))
+            step += s
+        else:
+            batch = sample_batch(rng, tokenizer, train_pool, args.batch,
+                                 args.seq_len, k_max=args.k_max)
+            state, loss = step_fn(state, batch)
+            losses.append(float(loss))
+            step += 1
+        prev = step - (s if chunk > 1 else 1)
+        if step // 50 != prev // 50:
             print(f"[train_qa] step {step}/{args.steps} "
                   f"loss {np.mean(losses[-50:]):.4f} "
                   f"({(time.time() - t0) / step:.2f}s/step)", flush=True)
-        if step % args.eval_every == 0 or step == args.steps:
+        if step // args.eval_every != prev // args.eval_every \
+                or step >= args.steps:
             ev = teacher_forced_eval(state.params, cfg, tokenizer,
                                      eval_pool, train_pool, args.seq_len)
             print(f"[train_qa] step {step} heldout {ev}", flush=True)
             extra["final_eval"] = ev
-        if args.save_every and step % args.save_every == 0:
+        if args.save_every and step // args.save_every != \
+                prev // args.save_every:
             save(state, tag=f"step {step}")
 
     save(state, tag="final")

@@ -269,8 +269,8 @@ class _PyPorter:
 
 
 # token classes (mirrors native/analyzer.cpp)
-_OTHER, _LETTER, _DIGIT, _HAN, _HIRA, _KATA, _APOS, _DOT, _COMMA, _UNDER = \
-    range(10)
+(_OTHER, _LETTER, _DIGIT, _HAN, _HIRA, _KATA, _APOS, _DOT, _COMMA, _UNDER,
+ _EXTEND) = range(11)
 _MAX_TOKEN_LEN = 255  # StandardTokenizer maxTokenLength
 _APOSTROPHES = {0x27, 0x2019, 0xFF07}
 
@@ -288,6 +288,15 @@ def _classify(ch: str) -> int:
         return _APOS
     if cp == 0xFF0E:
         return _DOT
+    import unicodedata
+    cat = unicodedata.category(ch)
+    # UAX#29 WB4: Extend (Mn/Mc/Me, incl. combining kana voicing marks)
+    # and Format (Cf, incl. ZWJ/ZWNJ) are transparent and attach to the
+    # token; U+200B ZERO WIDTH SPACE is excluded from Format by the spec
+    # and breaks.  Checked BEFORE the script ranges: U+3099/309A sit
+    # inside the Hiragana block but are Mn.
+    if cat in ("Mn", "Mc", "Me") or (cat == "Cf" and cp != 0x200B):
+        return _EXTEND
     # CJK before the general letter category (Han/Kana are Lo)
     if (0x4E00 <= cp <= 0x9FFF) or (0x3400 <= cp <= 0x4DBF) or \
             (0xF900 <= cp <= 0xFAFF) or (0x20000 <= cp <= 0x2FA1F):
@@ -297,11 +306,10 @@ def _classify(ch: str) -> int:
     if (0x30A0 <= cp <= 0x30FF) or (0x31F0 <= cp <= 0x31FF) or \
             (0xFF66 <= cp <= 0xFF9D):
         return _KATA
-    import unicodedata
-    cat = unicodedata.category(ch)
     if cat == "Nd":
         return _DIGIT
-    if cat.startswith("L"):
+    # Nl (Roman numerals etc.) is Alphabetic -> ALetter in UAX#29
+    if cat.startswith("L") or cat == "Nl":
         return _LETTER
     return _OTHER
 
@@ -312,7 +320,8 @@ def _lower1(ch: str) -> str:
     if ch.isascii():
         return ch.lower()
     import unicodedata
-    if not unicodedata.category(ch).startswith("L"):
+    cat = unicodedata.category(ch)
+    if not (cat.startswith("L") or cat == "Nl"):
         return ch
     low = ch.lower()
     return low[0] if low else ch
@@ -323,64 +332,78 @@ _ALNUM_CLS = {_LETTER, _DIGIT, _HAN, _HIRA, _KATA}
 
 def tokenize_uax29(text: str) -> List[str]:
     """UAX#29-subset word segmentation (see native/analyzer.cpp header for
-    the exact subset); returns raw tokens before any filtering."""
+    the exact subset); returns raw tokens before any filtering.
+
+    Join decisions use ``last_base`` — the class of the token's last
+    non-Extend codepoint — so combining marks / format chars riding inside
+    a token (WB4) never perturb the WB5-WB13 rules around them."""
     cls = [_classify(ch) for ch in text]
     n = len(text)
     tokens: List[str] = []
     cur: List[str] = []
     cur_has_alnum = False
-    mode = _OTHER
+    last_base = _OTHER
 
     def flush():
-        nonlocal cur, cur_has_alnum, mode
+        nonlocal cur, cur_has_alnum, last_base
         if cur and cur_has_alnum:
             tokens.append("".join(cur))
         cur = []
         cur_has_alnum = False
-        mode = _OTHER
+        last_base = _OTHER
+
+    def next_base(i: int) -> int:
+        for j in range(i + 1, n):
+            if cls[j] != _EXTEND:
+                return cls[j]
+        return _OTHER
 
     for i, ch in enumerate(text):
         c = cls[i]
         if len(cur) >= _MAX_TOKEN_LEN and c in _ALNUM_CLS:
             flush()
+        if c == _EXTEND:   # WB4: attach to the open token, never break
+            if cur:
+                cur.append(ch)
+            continue
         if c in (_HAN, _HIRA):
+            # one token per ideograph (kept open so trailing Extend
+            # marks attach); nothing joins across it
             flush()
-            tokens.append(ch)
+            cur.append(ch)
+            cur_has_alnum = True
+            last_base = c
         elif c == _KATA:
-            if mode != _KATA:
+            if last_base not in (_KATA, _UNDER):  # WB13/WB13b
                 flush()
-            mode = _KATA
             cur.append(ch)
             cur_has_alnum = True
+            last_base = _KATA
         elif c in (_LETTER, _DIGIT):
-            if mode == _KATA:
+            if last_base in (_HAN, _HIRA, _KATA):
                 flush()
-            mode = _LETTER
             cur.append(ch)
             cur_has_alnum = True
-        elif c == _UNDER:  # ExtendNumLet joins into word tokens
-            if mode == _KATA:
+            last_base = c
+        elif c == _UNDER:  # ExtendNumLet (WB13a/b): joins words/katakana
+            if last_base in (_HAN, _HIRA):
                 flush()
-            mode = _LETTER
             cur.append(ch)
-        elif c == _APOS:  # MidLetter: letter ' letter
-            if (mode == _LETTER and cur and _classify(cur[-1]) == _LETTER
-                    and i + 1 < n and cls[i + 1] == _LETTER):
+            last_base = _UNDER
+        elif c == _APOS:   # MidLetter (WB6/7): letter ' letter
+            if last_base == _LETTER and next_base(i) == _LETTER:
                 cur.append(ch)
             else:
                 flush()
-        elif c == _DOT:  # MidNumLet: letter.letter or digit.digit
-            if (mode == _LETTER and cur and i + 1 < n and
-                    ((_classify(cur[-1]) == _LETTER
-                      and cls[i + 1] == _LETTER) or
-                     (_classify(cur[-1]) == _DIGIT
-                      and cls[i + 1] == _DIGIT))):
+        elif c == _DOT:    # MidNumLet: letter.letter / MidNum: digit.digit
+            nb = next_base(i)
+            if (last_base == _LETTER and nb == _LETTER) or \
+                    (last_base == _DIGIT and nb == _DIGIT):
                 cur.append(ch)
             else:
                 flush()
-        elif c == _COMMA:  # MidNum: digit,digit
-            if (mode == _LETTER and cur and i + 1 < n and
-                    _classify(cur[-1]) == _DIGIT and cls[i + 1] == _DIGIT):
+        elif c == _COMMA:  # MidNum (WB11/12): digit,digit
+            if last_base == _DIGIT and next_base(i) == _DIGIT:
                 cur.append(ch)
             else:
                 flush()
