@@ -93,12 +93,36 @@ def _layer_norm(x, ln, eps):
         * ln["w"] + ln["b"]
 
 
+def fuse_qkv_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Precompute per-layer fused QKV weights (wqkv [d, 3d], bqkv [3d]):
+    one MXU matmul replaces three in the forward.  Done once at encoder
+    construction — never per call."""
+    out = dict(params)
+    layers = []
+    for layer in params["layers"]:
+        a = layer["attn"]
+        a2 = dict(a)
+        a2["wqkv"] = jnp.concatenate([a["wq"], a["wk"], a["wv"]], axis=1)
+        a2["bqkv"] = jnp.concatenate([a["bq"], a["bk"], a["bv"]])
+        for key in ("wq", "wk", "wv", "bq", "bk", "bv"):
+            del a2[key]
+        l2 = dict(layer)
+        l2["attn"] = a2
+        layers.append(l2)
+    out["layers"] = layers
+    return out
+
+
 def encoder_forward(params: Dict[str, Any], cfg: EncoderConfig,
-                    input_ids: jax.Array, attention_mask: jax.Array
-                    ) -> jax.Array:
+                    input_ids: jax.Array, attention_mask: jax.Array,
+                    fused_attention: bool = False) -> jax.Array:
     """Mean-pooled, L2-normalized sentence embeddings.
 
     input_ids, attention_mask: [B, L].  Returns [B, d] float32.
+    Accepts plain params (wq/wk/wv) or :func:`fuse_qkv_params` output.
+    fused_attention=True routes attention through the Pallas fused kernel
+    (ops/encoder_attention.py; TPU) — requires the mask rows to be
+    contiguous prefixes, which :meth:`E5Encoder._tokenize` guarantees.
     """
     B, L = input_ids.shape
     pos = jnp.arange(L, dtype=jnp.int32)
@@ -106,19 +130,39 @@ def encoder_forward(params: Dict[str, Any], cfg: EncoderConfig,
          + params["type_emb"][0][None, None])
     x = _layer_norm(x, params["emb_ln"], cfg.norm_eps)
 
-    neg = jnp.finfo(jnp.float32).min * 0.5
-    bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
+    if fused_attention:
+        valid_len = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+        bias = None
+    else:
+        neg = jnp.finfo(jnp.float32).min * 0.5
+        bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
 
     hd = cfg.head_dim
     for layer in params["layers"]:
         a = layer["attn"]
-        q = (x @ a["wq"] + a["bq"]).reshape(B, L, cfg.n_heads, hd)
-        k = (x @ a["wk"] + a["bk"]).reshape(B, L, cfg.n_heads, hd)
-        v = (x @ a["wv"] + a["bv"]).reshape(B, L, cfg.n_heads, hd)
-        scores = jnp.einsum("bihd,bjhd->bhij", q, k,
-                            preferred_element_type=jnp.float32) * hd ** -0.5
-        probs = jax.nn.softmax(scores + bias, axis=-1).astype(x.dtype)
-        ctx = jnp.einsum("bhij,bjhd->bihd", probs, v).reshape(B, L, -1)
+        if "wqkv" in a:
+            qkv = x @ a["wqkv"] + a["bqkv"]
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, L, cfg.n_heads, hd)
+            k = k.reshape(B, L, cfg.n_heads, hd)
+            v = v.reshape(B, L, cfg.n_heads, hd)
+        else:
+            q = (x @ a["wq"] + a["bq"]).reshape(B, L, cfg.n_heads, hd)
+            k = (x @ a["wk"] + a["bk"]).reshape(B, L, cfg.n_heads, hd)
+            v = (x @ a["wv"] + a["bv"]).reshape(B, L, cfg.n_heads, hd)
+        if fused_attention:
+            from sdag_tpu.ops.encoder_attention import \
+                encoder_attention_fused
+            ctx = encoder_attention_fused(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), valid_len)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, -1)
+        else:
+            scores = jnp.einsum(
+                "bihd,bjhd->bhij", q, k,
+                preferred_element_type=jnp.float32) * hd ** -0.5
+            probs = jax.nn.softmax(scores + bias, axis=-1).astype(x.dtype)
+            ctx = jnp.einsum("bhij,bjhd->bihd", probs, v).reshape(B, L, -1)
         x = _layer_norm(x + (ctx @ a["wo"] + a["bo"]), layer["ln1"],
                         cfg.norm_eps)
         m = layer["mlp"]
@@ -138,15 +182,23 @@ class E5Encoder:
 
     def __init__(self, params, cfg: EncoderConfig, tokenizer,
                  model_name: str = "e5", max_length: int = 512,
-                 pad_multiple: int = 64, dp_mesh=None) -> None:
-        self.params = params
+                 pad_multiple: int = 64, dp_mesh=None,
+                 fused: Optional[bool] = None) -> None:
+        # fused=None: fuse QKV + Pallas attention on TPU, plain XLA
+        # elsewhere (the kernel's mask contract is met by _tokenize's
+        # contiguous-prefix padding; parity is test-pinned)
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
+        self.fused = fused
+        self.params = fuse_qkv_params(params) if fused else params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.is_e5 = "e5" in model_name.lower()
         self.max_length = min(max_length, cfg.max_position)
         self.pad_multiple = pad_multiple
         self._fwd = jax.jit(
-            lambda p, ids, m: encoder_forward(p, cfg, ids, m))
+            lambda p, ids, m: encoder_forward(p, cfg, ids, m,
+                                              fused_attention=fused))
         # Data-parallel index-build encoding: batch rows sharded over the
         # mesh 'data' axis, params replicated — the build-side mirror of
         # the sharded search path (SURVEY §2.10). Output-identical to the
@@ -161,9 +213,12 @@ class E5Encoder:
             self._dp_n = dp_mesh.shape["data"]
             rep = NamedSharding(dp_mesh, P())
             row = NamedSharding(dp_mesh, P("data"))
+            # fused QKV weights still apply; the Pallas attention kernel
+            # is kept off here (XLA attention partitions over the batch
+            # axis automatically, a pallas_call would need a shard_map)
             self._fwd_dp = jax.jit(
                 lambda p, ids, m: encoder_forward(p, cfg, ids, m),
-                in_shardings=(jax.tree.map(lambda _: rep, params),
+                in_shardings=(jax.tree.map(lambda _: rep, self.params),
                               row, row),
                 out_shardings=row)
 

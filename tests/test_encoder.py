@@ -101,3 +101,68 @@ def test_data_parallel_encode_matches_single_device(enc):
     got = dp.encode(texts, kind="passage", batch_size=16)
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_fused_qkv_params_match_plain(enc):
+    """fuse_qkv_params (one [d,3d] matmul instead of three) must be
+    numerically identical to the plain wq/wk/wv forward."""
+    from sdag_tpu.models.e5 import fuse_qkv_params
+    rng = np.random.default_rng(3)
+    ids = rng.integers(1, CFG.vocab_size, size=(4, 64)).astype(np.int32)
+    mask = np.ones((4, 64), np.int32)
+    mask[1, 40:] = 0
+    mask[3, 10:] = 0
+    ref = encoder_forward(enc.params, CFG, ids, mask)
+    got = encoder_forward(fuse_qkv_params(enc.params), CFG, ids, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_attention_kernel_matches_reference():
+    """Pallas fused encoder attention (interpret mode off-TPU) == XLA
+    reference with the [B,H,L,L] materialized, incl. prefix masking."""
+    from sdag_tpu.ops.encoder_attention import (encoder_attention_fused,
+                                                encoder_attention_reference)
+    rng = np.random.default_rng(0)
+    B, H, L, Dh = 3, 4, 128, 32
+    q = rng.standard_normal((B, H, L, Dh)).astype(np.float32)
+    k = rng.standard_normal((B, H, L, Dh)).astype(np.float32)
+    v = rng.standard_normal((B, H, L, Dh)).astype(np.float32)
+    vl = np.array([128, 77, 1], np.int32)
+    ref = encoder_attention_reference(jax.numpy.asarray(q),
+                                      jax.numpy.asarray(k),
+                                      jax.numpy.asarray(v),
+                                      jax.numpy.asarray(vl))
+    got = encoder_attention_fused(jax.numpy.asarray(q),
+                                  jax.numpy.asarray(k),
+                                  jax.numpy.asarray(v),
+                                  jax.numpy.asarray(vl), interpret=True)
+    # compare only rows < valid_len (padded rows are pooled away)
+    for b in range(B):
+        np.testing.assert_allclose(np.asarray(got)[b, :, :vl[b]],
+                                   np.asarray(ref)[b, :, :vl[b]],
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_encoder_fused_attention_end_to_end_matches():
+    """Full encoder with fused QKV + fused attention kernel (interpret)
+    == plain encoder, through the E5Encoder mask/pooling contract."""
+    from sdag_tpu.models.e5 import fuse_qkv_params
+    from sdag_tpu.ops import encoder_attention as ea
+    params = init_encoder_params(jax.random.PRNGKey(1), CFG)
+    rng = np.random.default_rng(5)
+    ids = rng.integers(1, CFG.vocab_size, size=(5, 64)).astype(np.int32)
+    mask = np.zeros((5, 64), np.int32)
+    for i, n in enumerate([64, 3, 17, 50, 1]):
+        mask[i, :n] = 1
+    ref = encoder_forward(params, CFG, ids, mask)
+    orig = ea.encoder_attention_fused
+    try:
+        ea.encoder_attention_fused = \
+            lambda q, k, v, vl: orig(q, k, v, vl, interpret=True)
+        got = encoder_forward(fuse_qkv_params(params), CFG, ids, mask,
+                              fused_attention=True)
+    finally:
+        ea.encoder_attention_fused = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
