@@ -523,6 +523,141 @@ def main() -> None:
         _emit("dense_recall_at10_int8_rescored", i8r[1], "recall",
               i8r[1] / 0.99)
 
+    # ---- dense retrieval at HBM scale (VERDICT r2 item 2): N=1M bf16 and
+    # N=4M int8 — corpus GENERATED ON DEVICE (a 2-4 GB host upload through
+    # the relay would dominate; values don't matter for QPS, and recall is
+    # measured against an on-device exact scan over the same stored dtype)
+    def bench_dense_1m():
+        import gc
+
+        import jax
+        import jax.numpy as jnp
+
+        from sdag_tpu.ops.topk import approx_topk_matmul
+
+        N1, Q1 = 1_000_000, 256
+        D = 1024
+
+        @jax.jit
+        def gen_bf16(key):
+            ck = jax.random.normal(key, (N1, D), jnp.float32)
+            ck = ck / jnp.linalg.norm(ck, axis=1, keepdims=True)
+            return ck.astype(jnp.bfloat16)
+
+        c1 = gen_bf16(jax.random.PRNGKey(0))
+        q1 = jnp.asarray(q)
+
+        @jax.jit
+        def exact_scan(qj, cj):
+            s = jax.lax.dot_general(
+                qj.astype(jnp.bfloat16), cj,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return jax.lax.top_k(s, 10)[1]
+
+        exact1 = np.asarray(exact_scan(q1, c1))
+        _, i1 = approx_topk_matmul(q1, c1, 10)
+        i1 = np.asarray(i1)
+        rec = float(np.mean([len(set(i1[r]) & set(exact1[r])) / 10
+                             for r in range(Q1)]))
+
+        @jax.jit
+        def loop(qj, cj):
+            def body(i, acc):
+                v, _ = approx_topk_matmul(qj + acc * 1e-9 + i * 1e-6, cj, K)
+                return acc + v[0, 0]
+            return jax.lax.fori_loop(0, 20, body, 0.0)
+
+        dt = _device_time(loop, q1, c1) / 20
+        qps1m = Q1 / dt
+        # faiss-flat-equivalent host scan at the same N (values
+        # irrelevant for BLAS throughput: fresh random host corpus)
+        rng2 = np.random.default_rng(7)
+        c_host = rng2.standard_normal((N1, D)).astype(np.float32)
+        cpu1m = bench_cpu_dense_qps(q, c_host, K, n_queries=16)
+        del c_host
+        del c1
+        gc.collect()
+        return qps1m, rec, cpu1m
+
+    r = safe("dense_1m_bf16", bench_dense_1m)
+    if r:
+        qps1m, rec1m, cpu1m = r
+        _emit("dense_retrieval_qps_bf16_n1M_d1024_k10", qps1m, "qps/chip",
+              qps1m / cpu1m)
+        _emit("dense_recall_at10_bf16_n1M", rec1m, "recall", rec1m / 0.99)
+
+    def bench_dense_4m_int8():
+        import gc
+
+        import jax
+        import jax.numpy as jnp
+
+        from sdag_tpu.ops.topk import (approx_topk_matmul_int8,
+                                       quantize_last_axis_int8)
+
+        N4, Q4, CH = 4_000_000, 64, 500_000
+        D = 1024
+
+        @jax.jit
+        def gen_chunk(key):
+            ck = jax.random.normal(key, (CH, D), jnp.float32)
+            ck = ck / jnp.linalg.norm(ck, axis=1, keepdims=True)
+            return quantize_last_axis_int8(ck)
+
+        @jax.jit
+        def write(buf, sbuf, ck, sck, off):
+            return (jax.lax.dynamic_update_slice(buf, ck, (off, 0)),
+                    jax.lax.dynamic_update_slice(sbuf, sck, (off,)))
+
+        c4 = jnp.zeros((N4, D), jnp.int8)
+        s4 = jnp.zeros((N4,), jnp.float32)
+        t0 = time.time()
+        for j in range(N4 // CH):
+            ck, sck = gen_chunk(jax.random.PRNGKey(j))
+            c4, s4 = write(c4, s4, ck, sck, j * CH)
+        s4.block_until_ready()
+        pack_s = time.time() - t0
+        q4 = jnp.asarray(q[:Q4])
+
+        @jax.jit
+        def exact_scan_i8(qj, cj, sj):
+            s = jax.lax.dot_general(
+                quantize_last_axis_int8(qj)[0], cj,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            s = s * quantize_last_axis_int8(qj)[1][:, None] * sj[None, :]
+            return jax.lax.top_k(s, 10)[1]
+
+        exact4 = np.asarray(exact_scan_i8(q4, c4, s4))
+        _, i4 = approx_topk_matmul_int8(q4, c4, s4, 10)
+        i4 = np.asarray(i4)
+        rec = float(np.mean([len(set(i4[r]) & set(exact4[r])) / 10
+                             for r in range(Q4)]))
+
+        @jax.jit
+        def loop(qj, cj, sj):
+            def body(i, acc):
+                v, _ = approx_topk_matmul_int8(qj + acc * 1e-9 + i * 1e-6,
+                                               cj, sj, K)
+                return acc + v[0, 0]
+            return jax.lax.fori_loop(0, 20, body, 0.0)
+
+        dt = _device_time(loop, q4, c4, s4) / 20
+        del c4, s4
+        gc.collect()
+        return Q4 / dt, rec, pack_s
+
+    r = safe("dense_4m_int8", bench_dense_4m_int8)
+    if r:
+        qps4m, rec4m, pack_s = r
+        # vs_baseline: quantize+pack throughput in Mrows/s (index build
+        # device-side cost; the e5 encode bench covers the encoder side)
+        _emit("dense_retrieval_qps_int8_n4M_d1024_k10", qps4m, "qps/chip",
+              4.0 / max(pack_s, 1e-9))
+        _emit("dense_recall_at10_int8_n4M_selfdtype", rec4m, "recall",
+              rec4m / 0.99)
+
     # production default: bf16 corpus + approx_max_k two-stage (HEADLINE)
     bf16 = safe("dense_bf16",
                 lambda: bench_dense_qps(q, c, K, "bf16", exact=exact))

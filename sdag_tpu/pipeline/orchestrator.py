@@ -475,5 +475,13 @@ def run_experiment(cfg: Config,
         out = f"{cfg.OUTPUT_CSV_BASE}_{cfg.DISCERN_LABELS_SAVE_SUFFIX}"
         save_discern_labels_jsonl(out, discern_cache)
 
+    gen = res.generator
+    if getattr(gen, "spec_total_row_rounds", 0):
+        acc = gen.spec_total_tokens / gen.spec_total_row_rounds - 1.0
+        print(f"[spec] verification rounds: {gen.spec_total_rounds}, "
+              f"emitted tokens: {gen.spec_total_tokens}, measured "
+              f"accepted drafts/round: {acc:.3f} "
+              f"(G={cfg.SPECULATIVE_DRAFT_LEN})")
+
     timer.report()
     return all_metrics

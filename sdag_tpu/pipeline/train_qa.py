@@ -48,20 +48,24 @@ from sdag_tpu.parallel.train import (make_optimizer,
                                      make_sharded_train_step)
 from sdag_tpu.sdag.spans import build_rag_prompt_plan
 from sdag_tpu.utils.synth_qa import (Fact, World, fact_doc, fact_query,
-                                     make_world, save_world)
+                                     make_world, random_fact, save_world)
 
 
 def build_example(rng: np.random.Generator, tokenizer, fact: Fact,
-                  pool: List[Fact], k: int, iso: bool, seq_len: int
-                  ) -> Optional[Dict[str, np.ndarray]]:
+                  pool: Optional[List[Fact]], k: int, iso: bool,
+                  seq_len: int) -> Optional[Dict[str, np.ndarray]]:
     """One training example: k-doc RAG prompt (GT doc at a random rank,
     distractors drawn from other facts) + the answer, loss on the answer
     tokens only.  iso=True applies the SDAG doc metadata at prefill;
-    iso=False is the plain causal (NO-ISO) prefill."""
-    others = [f for f in pool if f is not fact]
-    picks = rng.choice(len(others), size=min(k - 1, len(others)),
-                       replace=False)
-    docs = [fact_doc(others[int(i)]) for i in picks]
+    iso=False is the plain causal (NO-ISO) prefill.  pool=None draws
+    FRESH random distractor facts (stream mode — see random_fact)."""
+    if pool is None:
+        docs = [fact_doc(random_fact(rng)) for _ in range(k - 1)]
+    else:
+        others = [f for f in pool if f is not fact]
+        picks = rng.choice(len(others), size=min(k - 1, len(others)),
+                           replace=False)
+        docs = [fact_doc(others[int(i)]) for i in picks]
     docs.insert(int(rng.integers(0, len(docs) + 1)), fact_doc(fact))
     plan = build_rag_prompt_plan(tokenizer, fact_query(fact), docs)
     ans = (tokenizer.encode(fact.value, add_special_tokens=False)
@@ -86,12 +90,16 @@ def build_example(rng: np.random.Generator, tokenizer, fact: Fact,
             "valid_len": np.int32(len(ids)), "loss_mask": loss_mask}
 
 
-def sample_batch(rng: np.random.Generator, tokenizer, pool: List[Fact],
-                 batch: int, seq_len: int, k_min: int = 2, k_max: int = 10,
+def sample_batch(rng: np.random.Generator, tokenizer,
+                 pool: Optional[List[Fact]], batch: int, seq_len: int,
+                 k_min: int = 2, k_max: int = 10,
                  iso_frac: float = 0.5) -> Dict[str, jnp.ndarray]:
+    """pool=None = stream mode: every example's facts are fresh
+    pseudowords, so the model can only learn answer-from-context."""
     exs = []
     while len(exs) < batch:
-        fact = pool[int(rng.integers(len(pool)))]
+        fact = random_fact(rng) if pool is None \
+            else pool[int(rng.integers(len(pool)))]
         k = int(rng.integers(k_min, k_max + 1))
         ex = build_example(rng, tokenizer, fact, pool, k,
                            iso=bool(rng.random() < iso_frac),
@@ -125,7 +133,7 @@ def decompress_batch(batch):
 
 
 def sample_batch_stack(rng: np.random.Generator, tokenizer,
-                       pool: List[Fact], chunk: int, batch: int,
+                       pool: Optional[List[Fact]], chunk: int, batch: int,
                        seq_len: int, k_min: int = 2, k_max: int = 10,
                        iso_frac: float = 0.5) -> Dict[str, np.ndarray]:
     """[S, B, ...] stack of S compressed batches for the scan driver."""
@@ -133,7 +141,8 @@ def sample_batch_stack(rng: np.random.Generator, tokenizer,
     for _ in range(chunk):
         exs = []
         while len(exs) < batch:
-            fact = pool[int(rng.integers(len(pool)))]
+            fact = random_fact(rng) if pool is None \
+                else pool[int(rng.integers(len(pool)))]
             k = int(rng.integers(k_min, k_max + 1))
             ex = build_example(rng, tokenizer, fact, pool, k,
                                iso=bool(rng.random() < iso_frac),
@@ -209,8 +218,13 @@ def main(argv: Optional[List[str]] = None) -> None:
                         d_model=args.d_model, n_layers=args.layers,
                         n_heads=args.heads, n_kv_heads=args.kv_heads,
                         d_ff=args.d_ff)
-    train_pool = world.facts_for(world.train_entities)
+    # STREAM training (pool=None): every batch's facts are fresh
+    # pseudowords — memorization cannot reduce the loss, only copying the
+    # value from the matching retrieved doc can.  The fixed world exists
+    # solely for evaluation + the downstream poisoning experiment.
+    train_pool = None
     eval_pool = world.facts_for(world.eval_entities)
+    eval_distract = world.facts_for(world.train_entities)
     print(f"[train_qa] world: {len(world.facts)} facts, "
           f"{len(world.train_entities)} train / "
           f"{len(world.eval_entities)} eval entities; "
@@ -267,7 +281,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         if step // args.eval_every != prev // args.eval_every \
                 or step >= args.steps:
             ev = teacher_forced_eval(state.params, cfg, tokenizer,
-                                     eval_pool, train_pool, args.seq_len)
+                                     eval_pool, eval_distract,
+                                     args.seq_len)
             print(f"[train_qa] step {step} heldout {ev}", flush=True)
             extra["final_eval"] = ev
         if args.save_every and step // args.save_every != \

@@ -111,6 +111,11 @@ class Generator:
         # speculative observability: verification rounds of the last call
         # (mean accepted drafts per round = sum(lengths)/rounds/b - 1)
         self.last_spec_rounds = 0
+        # cumulative across calls (experiment-level acceptance reporting:
+        # tokens / row_rounds - 1 = measured accepted drafts per round)
+        self.spec_total_rounds = 0
+        self.spec_total_row_rounds = 0
+        self.spec_total_tokens = 0
 
     def _pad_len(self, max_len: int) -> int:
         """Length bucket: pad_multiple granularity up to 4k, then 2048 —
@@ -188,6 +193,9 @@ class Generator:
             # emitted/rounds - 1 = mean accepted drafts per round: the
             # workload's actual speculation factor
             self.last_spec_rounds = int(rounds)
+            self.spec_total_rounds += int(rounds)
+            self.spec_total_row_rounds += int(rounds) * b
+            self.spec_total_tokens += int(np.asarray(res[1]).sum())
         else:
             out, lengths = res
         out = np.asarray(out)

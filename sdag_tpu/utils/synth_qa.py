@@ -96,6 +96,17 @@ def malicious_doc(f: Fact, false_value: str, variant: int = 0) -> str:
     return f"{lead} {claim} {tails[variant % len(tails)]}"
 
 
+def random_fact(rng: np.random.Generator,
+                attrs: Sequence[str] = ATTRS) -> Fact:
+    """A fresh fact with never-before-seen pseudowords.  Training on a
+    STREAM of these (instead of a fixed world) makes memorization
+    impossible — answering requires copying the value from the retrieved
+    context, which is the behavior the SDAG experiment needs."""
+    return Fact(_pseudoword(rng, int(rng.integers(3, 5))),
+                attrs[int(rng.integers(len(attrs)))],
+                _pseudoword(rng, int(rng.integers(3, 5))))
+
+
 def make_world(n_entities: int = 64, attrs: Sequence[str] = ATTRS,
                seed: int = 0, eval_frac: float = 0.25) -> World:
     """Entities/values are fresh pseudowords; ~eval_frac of entities are
