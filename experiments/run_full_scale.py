@@ -120,7 +120,8 @@ def prepare(workdir: str, sample_size: int, dataset: str) -> None:
 def run_one(workdir: str, out_root: str, strategy: str,
             sample_size: int, dataset: str, defense: str = "none",
             attack_variant: str = "malicious_doc",
-            kv_dtype: str = "native", retriever: str = "dense") -> dict:
+            kv_dtype: str = "native", retriever: str = "dense",
+            speculative: int = 0) -> dict:
     tag = f"{dataset}{sample_size}_{strategy}"
     if defense != "none":
         tag += f"_{defense}"
@@ -130,6 +131,8 @@ def run_one(workdir: str, out_root: str, strategy: str,
         tag += f"_kv{kv_dtype}"
     if retriever != "dense":
         tag += f"_{retriever}"
+    if speculative:
+        tag += f"_spec{speculative}"
     out_dir = os.path.join(out_root, tag)
     os.makedirs(out_dir, exist_ok=True)
     cfg = {
@@ -141,6 +144,7 @@ def run_one(workdir: str, out_root: str, strategy: str,
         "MALICIOUS_DOC_SELECTION_STRATEGY": strategy,
         "ATTACK_VARIANT": attack_variant,
         "KV_CACHE_DTYPE": kv_dtype,
+        "SPECULATIVE_DRAFT_LEN": speculative,
         "DEFENSE_BACKEND": defense,
         "RETRIEVER_BACKEND": retriever,
         "DENSE_INDEX_DTYPE": "bfloat16",
@@ -175,6 +179,10 @@ def run_one(workdir: str, out_root: str, strategy: str,
         f.write(proc.stderr[-20000:])
     status = {"strategy": strategy, "rc": proc.returncode,
               "wall_s": round(wall, 1)}
+    for line in proc.stdout.splitlines():
+        # orchestrator end-of-run speculation report -> wall.json
+        if line.startswith("[spec] "):
+            status["spec_report"] = line
     with open(os.path.join(out_dir, "wall.json"), "w") as f:
         json.dump(status, f)
     print(f"[run] {strategy}: rc={proc.returncode} wall={wall:.0f}s "
@@ -200,6 +208,9 @@ def main() -> None:
                     choices=["native", "int8"])
     ap.add_argument("--retriever", default="dense",
                     choices=["dense", "sparse", "sparse_and_dense"])
+    ap.add_argument("--speculative", type=int, default=0,
+                    help="SPECULATIVE_DRAFT_LEN (0 = off); the measured "
+                         "accepted-drafts/round lands in wall.json")
     args = ap.parse_args()
 
     if args.attack_variant == "doc_corruption" and len(args.strategies) > 1:
@@ -215,7 +226,8 @@ def main() -> None:
                                args.dataset, defense=args.defense,
                                attack_variant=args.attack_variant,
                                kv_dtype=args.kv_dtype,
-                               retriever=args.retriever))
+                               retriever=args.retriever,
+                               speculative=args.speculative))
     suffix = args.dataset if args.defense == "none" \
         else f"{args.dataset}_{args.defense}"
     if args.attack_variant != "malicious_doc":
@@ -224,6 +236,8 @@ def main() -> None:
         suffix += f"_kv{args.kv_dtype}"
     if args.retriever != "dense":
         suffix += f"_{args.retriever}"
+    if args.speculative:
+        suffix += f"_spec{args.speculative}"
     sp = os.path.join(args.out, f"summary_{suffix}.json")
     with open(sp, "w") as f:
         json.dump(summary, f, indent=1)

@@ -43,8 +43,7 @@ from sdag_tpu.models.llama import (DecoderConfig, init_decoder_params,
                                    prefill)
 from sdag_tpu.models.native_ckpt import save_decoder
 from sdag_tpu.models.tokenizer import ByteTokenizer
-from sdag_tpu.parallel.train import (make_optimizer,
-                                     make_sharded_train_scan,
+from sdag_tpu.parallel.train import (make_sharded_train_scan,
                                      make_sharded_train_step)
 from sdag_tpu.sdag.spans import build_rag_prompt_plan
 from sdag_tpu.utils.synth_qa import (Fact, World, fact_doc, fact_query,
@@ -199,7 +198,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--heads", type=int, default=6)
     p.add_argument("--kv-heads", type=int, default=6)
     p.add_argument("--d-ff", type=int, default=512)
-    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--warmup", type=int, default=300)
+    p.add_argument("--k-min", type=int, default=1)
     p.add_argument("--seq-len", type=int, default=768)
     p.add_argument("--k-max", type=int, default=10)
     p.add_argument("--eval-every", type=int, default=250)
@@ -233,13 +234,16 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     mesh = make_mesh(data=args.mesh_data, model=1)
     chunk = max(1, args.scan_chunk)
+    import optax
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, args.warmup, args.steps, args.lr * 0.03)
+    opt = optax.adamw(sched, weight_decay=0.01)
     if chunk > 1:
         init_state, scan_fn = make_sharded_train_scan(
-            cfg, mesh, optimizer=make_optimizer(args.lr),
-            preprocess=decompress_batch)
+            cfg, mesh, optimizer=opt, preprocess=decompress_batch)
     else:
         init_state, step_fn = make_sharded_train_step(
-            cfg, mesh, optimizer=make_optimizer(args.lr))
+            cfg, mesh, optimizer=opt)
     params = init_decoder_params(jax.random.PRNGKey(args.seed), cfg)
     state = init_state(params)
 
@@ -262,6 +266,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             s = min(chunk, args.steps - step)
             stacked = sample_batch_stack(rng, tokenizer, train_pool, s,
                                          args.batch, args.seq_len,
+                                         k_min=args.k_min,
                                          k_max=args.k_max)
             state, ls = scan_fn(state, {k: jnp.asarray(v)
                                         for k, v in stacked.items()})
@@ -269,7 +274,8 @@ def main(argv: Optional[List[str]] = None) -> None:
             step += s
         else:
             batch = sample_batch(rng, tokenizer, train_pool, args.batch,
-                                 args.seq_len, k_max=args.k_max)
+                                 args.seq_len, k_min=args.k_min,
+                                 k_max=args.k_max)
             state, loss = step_fn(state, batch)
             losses.append(float(loss))
             step += 1

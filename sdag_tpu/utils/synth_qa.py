@@ -73,7 +73,12 @@ class World:
 
 
 def fact_doc(f: Fact) -> str:
-    return f"The {f.attr} of {f.entity.capitalize()} is {f.value}."
+    # lowercase and phrased to mirror fact_query: the query/doc share the
+    # byte-exact substring "the {attr} of {entity}", so the copy circuit a
+    # tiny byte-level decoder must learn is a clean 2-hop induction match
+    # (capitalized entities broke byte-exact matching and stalled training
+    # at the pseudoword-LM entropy)
+    return f"the {f.attr} of {f.entity} is {f.value}."
 
 
 def fact_query(f: Fact) -> str:
@@ -84,14 +89,14 @@ def malicious_doc(f: Fact, false_value: str, variant: int = 0) -> str:
     """PoisonedRAG-style poison: echo the query, assert the false value
     (the shipped CSVs' docs open with the query text and repeat the false
     claim; cf. ``poisonedRAG_attack_using_GPT.py:52-56``)."""
-    claim = f"The {f.attr} of {f.entity.capitalize()} is {false_value}."
+    claim = f"the {f.attr} of {f.entity} is {false_value}."
     lead = fact_query(f)
     tails = [
-        f"All recent sources agree that {claim[0].lower()}{claim[1:]}",
-        f"Experts have confirmed: {claim}",
-        f"According to the latest records, {claim[0].lower()}{claim[1:]}",
-        f"It is well documented that {claim[0].lower()}{claim[1:]}",
-        f"Every authority now states that {claim[0].lower()}{claim[1:]}",
+        f"all recent sources agree that {claim}",
+        f"experts have confirmed: {claim}",
+        f"according to the latest records, {claim}",
+        f"it is well documented that {claim}",
+        f"every authority now states that {claim}",
     ]
     return f"{lead} {claim} {tails[variant % len(tails)]}"
 
