@@ -50,14 +50,21 @@ from sdag_tpu.utils.synth_qa import (Fact, World, fact_doc, fact_query,
                                      make_world, random_fact, save_world)
 
 
+AUX_LM_WEIGHT = 0.1
+
+
 def build_example(rng: np.random.Generator, tokenizer, fact: Fact,
                   pool: Optional[List[Fact]], k: int, iso: bool,
                   seq_len: int) -> Optional[Dict[str, np.ndarray]]:
     """One training example: k-doc RAG prompt (GT doc at a random rank,
-    distractors drawn from other facts) + the answer, loss on the answer
-    tokens only.  iso=True applies the SDAG doc metadata at prefill;
-    iso=False is the plain causal (NO-ISO) prefill.  pool=None draws
-    FRESH random distractor facts (stream mode — see random_fact)."""
+    distractors drawn from other facts) + the answer.  Loss weights: 1.0
+    on the answer tokens, AUX_LM_WEIGHT on the whole prompt — the
+    auxiliary language-modeling signal is what grows induction/copy heads
+    in small transformers (answer-only supervision left held-out accuracy
+    flat at the pseudoword-LM entropy).  iso=True applies the SDAG doc
+    metadata at prefill; iso=False is the plain causal (NO-ISO) prefill.
+    pool=None draws FRESH random distractor facts (stream mode — see
+    random_fact)."""
     if pool is None:
         docs = [fact_doc(random_fact(rng)) for _ in range(k - 1)]
     else:
@@ -82,6 +89,7 @@ def build_example(rng: np.random.Generator, tokenizer, fact: Fact,
     targets = np.zeros(seq_len, np.int32)
     targets[:len(ids) - 1] = ids[1:]
     loss_mask = np.zeros(seq_len, np.float32)
+    loss_mask[:len(ids) - 1] = AUX_LM_WEIGHT       # aux LM on the prompt
     loss_mask[prompt_len - 1:len(ids) - 1] = 1.0   # predicts the answer
     return {"input_ids": input_ids, "targets": targets, "doc_id": doc_id,
             "nbr_bits": nbr_bits,
@@ -110,12 +118,13 @@ def sample_batch(rng: np.random.Generator, tokenizer,
 
 
 # Wire compression for the remote-relay link: ids fit in int16 (byte vocab),
-# doc_id/nbr_bits in int8 (<=31 docs), loss_mask in uint8 — ~4x fewer bytes
-# per uploaded batch.  Decompressed on device inside the scan body.
+# doc_id/nbr_bits in int8 (<=31 docs), loss_mask in f16 (fractional aux
+# weights) — ~4x fewer bytes per uploaded batch.  Decompressed on device
+# inside the scan body.
 _WIRE_DTYPES = {"input_ids": np.int16, "targets": np.int16,
                 "doc_id": np.int8, "nbr_bits": np.int8,
                 "sys_user_len": np.int32, "valid_len": np.int32,
-                "loss_mask": np.uint8}
+                "loss_mask": np.float16}
 
 
 def compress_batch_np(exs: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
@@ -176,7 +185,9 @@ def teacher_forced_eval(params, cfg: DecoderConfig, tokenizer,
                  for key in exs[0]}
         logits = np.asarray(fwd(params, batch))
         pred = logits.argmax(-1)
-        m = np.asarray(batch["loss_mask"]) > 0
+        # answer tokens only (weight exactly 1.0; aux-LM prompt weights
+        # are fractional)
+        m = np.asarray(batch["loss_mask"]) == 1.0
         tgt = np.asarray(batch["targets"])
         tok_acc = float((pred[m] == tgt[m]).mean())
         full = float(np.mean([
