@@ -101,15 +101,38 @@ def malicious_doc(f: Fact, false_value: str, variant: int = 0) -> str:
     return f"{lead} {claim} {tails[variant % len(tails)]}"
 
 
+def value_lexicon(n: int = 256, seed: int = 777) -> List[str]:
+    """Closed lexicon of answer values (deterministic).  Entities are
+    always FRESH pseudowords (the entity->value mapping is unseen, so
+    answering requires reading the context), but values come from this
+    fixed vocabulary: the aux-LM loss then learns each value as a
+    coherent word, so under conflicting documents the model COMMITS to
+    one value instead of blending bytes — mirroring how real LLM answers
+    are vocabulary items with strong within-word priors."""
+    rng = np.random.default_rng(seed)
+    out: List[str] = []
+    seen = set()
+    while len(out) < n:
+        w = _pseudoword(rng, int(rng.integers(3, 5)))
+        if w not in seen:
+            seen.add(w)
+            out.append(w)
+    return out
+
+
+_VALUE_LEXICON = value_lexicon()
+
+
 def random_fact(rng: np.random.Generator,
                 attrs: Sequence[str] = ATTRS) -> Fact:
-    """A fresh fact with never-before-seen pseudowords.  Training on a
-    STREAM of these (instead of a fixed world) makes memorization
-    impossible — answering requires copying the value from the retrieved
-    context, which is the behavior the SDAG experiment needs."""
+    """A fresh fact: never-before-seen entity, value from the closed
+    lexicon.  Training on a STREAM of these (instead of a fixed world)
+    makes fact memorization impossible — answering requires copying the
+    value from the retrieved context, the behavior the SDAG experiment
+    needs."""
     return Fact(_pseudoword(rng, int(rng.integers(3, 5))),
                 attrs[int(rng.integers(len(attrs)))],
-                _pseudoword(rng, int(rng.integers(3, 5))))
+                _VALUE_LEXICON[int(rng.integers(len(_VALUE_LEXICON)))])
 
 
 def make_world(n_entities: int = 64, attrs: Sequence[str] = ATTRS,
@@ -117,20 +140,20 @@ def make_world(n_entities: int = 64, attrs: Sequence[str] = ATTRS,
     """Entities/values are fresh pseudowords; ~eval_frac of entities are
     held out of training entirely (context-reading proof)."""
     rng = np.random.default_rng(seed)
+    lex = set(_VALUE_LEXICON)
     entities: List[str] = []
     seen = set()
     while len(entities) < n_entities:
         w = _pseudoword(rng, 3)
-        if w not in seen:
+        if w not in seen and w not in lex:
             seen.add(w)
             entities.append(w)
     facts = []
     for e in entities:
         for a in attrs:
-            v = _pseudoword(rng, rng.integers(3, 5))
-            while v in seen:
-                v = _pseudoword(rng, rng.integers(3, 5))
-            seen.add(v)
+            # values from the closed lexicon (see value_lexicon); the
+            # (entity, attr) -> value mapping is still fresh per world
+            v = _VALUE_LEXICON[int(rng.integers(len(_VALUE_LEXICON)))]
             facts.append(Fact(e, a, v))
     n_eval = max(1, int(round(n_entities * eval_frac)))
     eval_entities = list(entities[-n_eval:])
@@ -154,16 +177,17 @@ def write_attack_csv(world: World, path: str, entities: Sequence[str],
     doc; ``utils/parsing.py`` groups rows by query).  False value = a fresh
     pseudoword (never any entity's true value)."""
     rng = np.random.default_rng(seed)
-    taken = {f.value for f in world.facts} | {f.entity for f in world.facts}
     rows = []
     used_facts = []
     for f in world.facts_for(entities):
         if f.attr not in attrs:
             continue
-        fv = _pseudoword(rng, 4)
-        while fv in taken:
-            fv = _pseudoword(rng, 4)
-        taken.add(fv)
+        # false value = a plausible lexicon value != the true one (the
+        # attacker asserts a coherent alternative, like PoisonedRAG's
+        # GPT-written false answers)
+        fv = _VALUE_LEXICON[int(rng.integers(len(_VALUE_LEXICON)))]
+        while fv == f.value:
+            fv = _VALUE_LEXICON[int(rng.integers(len(_VALUE_LEXICON)))]
         used_facts.append(f)
         for m in range(n_mal):
             rows.append({
