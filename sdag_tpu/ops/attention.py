@@ -90,7 +90,7 @@ def sdag_attention_reference(q, k, v, doc_id, nbr_bits, sys_user_len,
                          sys_user_len, valid_len)
 
 
-BLOCK_SKIP, BLOCK_FULL, BLOCK_PARTIAL = 0, 1, 2
+BLOCK_SKIP, BLOCK_FULL, BLOCK_PARTIAL, BLOCK_CAUSAL = 0, 1, 2, 3
 
 
 def compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
@@ -100,11 +100,16 @@ def compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
 
     0 = SKIP (no visible pair — the kernel does no work),
     1 = FULL (every pair visible — no per-token mask needed),
-    2 = PARTIAL (compute the token mask in-tile).
+    2 = PARTIAL (compute the full SDAG token mask in-tile),
+    3 = CAUSAL (mask is EXACTLY causal&valid: all q rows non-doc, no hole
+        keys — the kernel applies the 3-op causal mask instead of the
+        ~13-op SDAG rule; on a plain-causal prompt every live diagonal
+        tile takes this path).
 
-    Classification is conservative toward PARTIAL: SKIP/FULL are exact
-    guarantees, heterogenous tiles fall back to PARTIAL.  This is the
-    splash-attention-style structure precompute, O(nQ*nK) cheap XLA work.
+    Classification is conservative toward PARTIAL: SKIP/FULL/CAUSAL are
+    exact guarantees, heterogenous tiles fall back to PARTIAL.  This is
+    the splash-attention-style structure precompute, O(nQ*nK) cheap XLA
+    work.
 
     Context parallelism: doc_id/nbr_bits describe the KEY sequence; when the
     q rows are a slice [q_offset, q_offset+Lq), pass their metadata as
@@ -184,9 +189,16 @@ def compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
             | (same_doc_homo & below)
             | nbr_full)
 
+        # exactly-causal tiles: every q row is non-doc/hole (causal rows)
+        # and no key in the tile is a hole -> _tile_mask reduces to
+        # causal & valid
+        causal_exact = (q_all_nondoc[:, None]
+                        & (k_min_d >= -1)[None, :])
         return jnp.where(~any_vis, BLOCK_SKIP,
                          jnp.where(full, BLOCK_FULL,
-                                   BLOCK_PARTIAL)).astype(jnp.int32)
+                                   jnp.where(causal_exact, BLOCK_CAUSAL,
+                                             BLOCK_PARTIAL))
+                         ).astype(jnp.int32)
 
     return jax.vmap(one)(doc_id_q, nbr_bits_q, doc_id,
                          jnp.asarray(sys_user_len, jnp.int32),
@@ -499,21 +511,7 @@ def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
         for ki in range(nk):  # static unroll; SKIP tiles cost one branch
             kind = kinds_smem[b, qi, ki]
 
-            @pl.when(kind > BLOCK_SKIP)
-            def _tile(ki=ki):
-                kb = k_ref[0, ki * block_k:(ki + 1) * block_k, :]
-                vb = v_ref[0, ki * block_k:(ki + 1) * block_k, :]
-                s = jax.lax.dot_general(
-                    qb, kb.astype(jnp.bfloat16),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
-                j = ki * block_k + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_k), 1)
-                dk = jax.lax.slice(dk_all, (ki * block_k,),
-                                   ((ki + 1) * block_k,)).reshape(1, block_k)
-                mask = _tile_mask(i, j, dq, dk, nbr_q, sul, vl)
-                s = jnp.where(mask, s, -jnp.inf)
-
+            def online_update(s, vb):
                 m_prev = m_s[:]
                 m_new = jnp.maximum(m_prev, jnp.max(s, axis=1,
                                                     keepdims=True))
@@ -527,6 +525,41 @@ def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 m_s[:] = m_new
+
+            def scores(ki):
+                kb = k_ref[0, ki * block_k:(ki + 1) * block_k, :]
+                vb = v_ref[0, ki * block_k:(ki + 1) * block_k, :]
+                s = jax.lax.dot_general(
+                    qb, kb.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                return s, vb
+
+            # per-kind mask specialization: the ~13-op SDAG rule is VPU
+            # work comparable to the tile's MXU time at Dh=128, so FULL
+            # tiles skip it and exactly-causal tiles use the 3-op form
+            @pl.when(kind == BLOCK_PARTIAL)
+            def _tile_partial(ki=ki):
+                s, vb = scores(ki)
+                j = ki * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1)
+                dk = jax.lax.slice(dk_all, (ki * block_k,),
+                                   ((ki + 1) * block_k,)).reshape(1, block_k)
+                mask = _tile_mask(i, j, dq, dk, nbr_q, sul, vl)
+                online_update(jnp.where(mask, s, -jnp.inf), vb)
+
+            @pl.when(kind == BLOCK_CAUSAL)
+            def _tile_causal(ki=ki):
+                s, vb = scores(ki)
+                j = ki * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1)
+                mask = (j <= i) & (j < vl) & (i < vl)
+                online_update(jnp.where(mask, s, -jnp.inf), vb)
+
+            @pl.when(kind == BLOCK_FULL)
+            def _tile_full(ki=ki):
+                s, vb = scores(ki)
+                online_update(s, vb)
 
         l = l_s[:]
         out_ref[0, :] = (acc_s[:] /
@@ -636,7 +669,9 @@ def _splash_kernel(meta_ref, counts_ref, kvlist_ref, kindlist_ref,
                                   valid_len)
                 return jnp.where(mask, s, -jnp.inf)
 
-            s = jax.lax.cond(kind == BLOCK_PARTIAL, apply_mask,
+            # PARTIAL and CAUSAL both evaluate the exact rule here (the
+            # full rule subsumes causal&valid); only FULL skips it
+            s = jax.lax.cond(kind != BLOCK_FULL, apply_mask,
                              lambda s: s, s)
 
             m_prev = m_scratch[:]

@@ -6,7 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from sdag_tpu.ops.attention import (BLOCK_FULL, BLOCK_PARTIAL, BLOCK_SKIP,
+from sdag_tpu.ops.attention import (BLOCK_CAUSAL, BLOCK_FULL,
+                                    BLOCK_PARTIAL, BLOCK_SKIP,
                                     compute_block_kinds,
                                     sdag_attention_reference,
                                     sdag_flash_attention)
@@ -46,6 +47,12 @@ def test_block_kinds_sound(L, layout, nbrs, bq, bk):
             elif kind == BLOCK_FULL:
                 assert tile.all(), (qi, ki)
                 n_full += 1
+            elif kind == BLOCK_CAUSAL:
+                # exactness guarantee: tile mask == causal & valid
+                ii = np.arange(qi * bq, (qi + 1) * bq)[:, None]
+                jj = np.arange(ki * bk, (ki + 1) * bk)[None, :]
+                exp = (jj <= ii) & (jj < vl) & (ii < vl)
+                assert (tile == exp).all(), (qi, ki)
             else:
                 assert kind == BLOCK_PARTIAL
     # classification actually fires (not everything partial)
