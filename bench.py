@@ -174,7 +174,7 @@ def bench_e5_encode(iters: int = 4):
     import jax.numpy as jnp
 
     from sdag_tpu.models.e5 import (EncoderConfig, encoder_forward,
-                                    init_encoder_params)
+                                    fuse_qkv_params, init_encoder_params)
 
     cfg = EncoderConfig.e5_large_v2()
     params = init_encoder_params(jax.random.PRNGKey(0), cfg)
@@ -182,12 +182,17 @@ def bench_e5_encode(iters: int = 4):
     ids = jax.random.randint(jax.random.PRNGKey(1), (B, L), 0,
                              cfg.vocab_size, jnp.int32)
     mask = jnp.ones((B, L), jnp.int32)
+    # production path on TPU: fused QKV + Pallas fused attention
+    # (E5Encoder defaults; ops/encoder_attention.py)
+    fused = jax.default_backend() == "tpu"
+    if fused:
+        params = fuse_qkv_params(params)
 
     @jax.jit
     def loop(params, ids, mask):
         def body(i, acc):
             emb = encoder_forward(params, cfg, (ids + i) % cfg.vocab_size,
-                                  mask)
+                                  mask, fused_attention=fused)
             return acc + emb[0, 0]
         return jax.lax.fori_loop(0, iters, body, 0.0)
 

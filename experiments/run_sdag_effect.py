@@ -46,7 +46,8 @@ def run_grid(ckpt: str, out_dir: str, n_mal: int, positions, top_k: int,
     run_out = os.path.join(out_dir, f"nmal{n_mal}")
     cfg = {
         "SAMPLE_SIZE": len(facts),
-        "TOP_K": [top_k],
+        # pairs zip elementwise (reference semantics): repeat top_k
+        "TOP_K": [top_k] * len(positions),
         "ADD_ATTACK_IN_RANK": list(positions),
         "CSV_INPUT_PATH": attack,
         "CORPUS_JSONL_PATH": corpus,

@@ -83,12 +83,12 @@ def test_trained_model_poisoning_direction(tmp_path, world):
     attack = tmp_path / "attack.csv"
     write_corpus_jsonl(world, str(corpus))
     facts = write_attack_csv(world, str(attack), world.eval_entities[:4],
-                             n_mal=5, seed=world.seed + 2)
+                             n_mal=2, seed=world.seed + 2)
     cfg = Config()
     cfg.SAMPLE_SIZE = len(facts)
     cfg.TOP_K = [5]
     cfg.ADD_ATTACK_IN_RANK = [1]
-    cfg.MAX_MALICIOUS_DOCS_PER_QUERY = 5
+    cfg.MAX_MALICIOUS_DOCS_PER_QUERY = 2
     cfg.CSV_INPUT_PATH = str(attack)
     cfg.CORPUS_JSONL_PATH = str(corpus)
     cfg.RETRIEVER_BACKEND = "sparse"
