@@ -205,6 +205,47 @@ def compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
                          jnp.asarray(valid_len, jnp.int32), q_offset)
 
 
+def tile_masks_from_metadata(doc_id, nbr_bits, sys_user_len, valid_len,
+                             block_q: int, block_k: int,
+                             doc_id_q=None, nbr_bits_q=None, q_offset=None):
+    """Materialize the exact SDAG mask as int8 TILES
+    [B, nQ, nK, block_q, block_k] (XLA, once per prefill).
+
+    Why: the in-kernel ~13-op mask rule is VPU work comparable to a
+    tile's MXU time at Dh=128, and it is recomputed per (layer, head,
+    tile) even though the mask depends only on (batch, tile).  Computing
+    it once and streaming int8 tiles costs ~bq*bk bytes of DMA per tile
+    — an order of magnitude cheaper than recomputing — and amortizes
+    over every head and layer of the prefill.  HBM cost: B * Lq * Lk
+    bytes (16 MB per row at L=4096); the dispatcher gates this path to
+    geometries where a row's mask tiles also fit VMEM staging.
+    """
+    B, Lk = doc_id.shape
+    if doc_id_q is None:
+        doc_id_q = doc_id
+    if nbr_bits_q is None:
+        nbr_bits_q = nbr_bits
+    Lq = doc_id_q.shape[1]
+    sys_user_len = jnp.broadcast_to(jnp.asarray(sys_user_len, jnp.int32),
+                                    (B,))
+    valid_len = (jnp.broadcast_to(jnp.asarray(valid_len, jnp.int32), (B,))
+                 if valid_len is not None else jnp.full((B,), Lk, jnp.int32))
+    q_offset = (jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
+                if q_offset is not None else jnp.zeros((B,), jnp.int32))
+
+    def one(dq, nbq, dk, sul, vl, qoff):
+        i = qoff + jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 1)
+        m = _tile_mask(i, j, dq[:, None], dk[None, :], nbq[:, None],
+                       sul, vl)
+        return m.astype(jnp.int8)
+
+    full = jax.vmap(one)(doc_id_q, nbr_bits_q, doc_id, sys_user_len,
+                         valid_len, q_offset)              # [B, Lq, Lk]
+    nq, nk = Lq // block_q, Lk // block_k
+    return full.reshape(B, nq, block_q, nk, block_k).transpose(0, 1, 3, 2, 4)
+
+
 def _flash_kernel(b, kind, sys_user_len, valid_len, q_offset,
                   q_ref, k_ref, v_ref, dq_ref, dk_ref, nbr_ref,
                   out_ref, m_scratch, l_scratch, acc_scratch,
@@ -387,14 +428,15 @@ def sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "scale",
-                                             "interpret"))
+                                             "interpret", "use_mask_tiles"))
 def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
                                valid_len=None,
                                block_q: Optional[int] = None,
                                block_k: Optional[int] = None,
                                scale: Optional[float] = None,
                                interpret: bool = False,
-                               doc_id_q=None, nbr_bits_q=None, q_offset=None):
+                               doc_id_q=None, nbr_bits_q=None, q_offset=None,
+                               use_mask_tiles: bool = False):
     """KV-resident block-sparse flash attention.
 
     Same contract as ``sdag_flash_attention``, different schedule: the grid
@@ -456,25 +498,36 @@ def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
     def kv_index(bh, qi, meta, kinds):
         return ((bh // H) * n_kv + (bh % H) // n_rep, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, block_q, Dh),
+                     lambda bh, qi, meta, kinds: (bh, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, Dh), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, Dh), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, block_q),
+                     lambda bh, qi, meta, kinds: (0, qi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, L),
+                     lambda bh, qi, meta, kinds: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, block_q),
+                     lambda bh, qi, meta, kinds: (0, qi),
+                     memory_space=pltpu.VMEM),
+    ]
+    if use_mask_tiles:
+        # precomputed int8 mask tiles: one (b, q-row) strip [nk, bq, bk]
+        # per grid step (head-independent — the strip re-streams per
+        # head, which is still ~10x cheaper than recomputing the rule
+        # per tile on the VPU)
+        in_specs.append(pl.BlockSpec(
+            (1, 1, nk, block_q, block_k),
+            lambda bh, qi, meta, kinds: (bh // H, qi, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B * H, nq),
-        in_specs=[
-            pl.BlockSpec((1, block_q, Dh),
-                         lambda bh, qi, meta, kinds: (bh, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, Dh), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, Dh), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, block_q),
-                         lambda bh, qi, meta, kinds: (0, qi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, L),
-                         lambda bh, qi, meta, kinds: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, block_q),
-                         lambda bh, qi, meta, kinds: (0, qi),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, Dh),
                                lambda bh, qi, meta, kinds: (bh, qi, 0),
                                memory_space=pltpu.VMEM),
@@ -486,7 +539,12 @@ def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
     )
 
     def kernel(meta_smem, kinds_smem, q_ref, k_ref, v_ref, dq_ref, dk_ref,
-               nbr_ref, out_ref, m_s, l_s, acc_s):
+               nbr_ref, *rest):
+        if use_mask_tiles:
+            mtiles_ref, out_ref, m_s, l_s, acc_s = rest
+        else:
+            out_ref, m_s, l_s, acc_s = rest
+            mtiles_ref = None
         bh = pl.program_id(0)
         qi = pl.program_id(1)
         b = bh // H
@@ -541,11 +599,15 @@ def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
             @pl.when(kind == BLOCK_PARTIAL)
             def _tile_partial(ki=ki):
                 s, vb = scores(ki)
-                j = ki * block_k + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_k), 1)
-                dk = jax.lax.slice(dk_all, (ki * block_k,),
-                                   ((ki + 1) * block_k,)).reshape(1, block_k)
-                mask = _tile_mask(i, j, dq, dk, nbr_q, sul, vl)
+                if use_mask_tiles:
+                    mask = mtiles_ref[0, 0, ki] != 0
+                else:
+                    j = ki * block_k + jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, block_k), 1)
+                    dk = jax.lax.slice(
+                        dk_all, (ki * block_k,),
+                        ((ki + 1) * block_k,)).reshape(1, block_k)
+                    mask = _tile_mask(i, j, dq, dk, nbr_q, sul, vl)
                 online_update(jnp.where(mask, s, -jnp.inf), vb)
 
             @pl.when(kind == BLOCK_CAUSAL)
@@ -565,6 +627,11 @@ def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
         out_ref[0, :] = (acc_s[:] /
                          jnp.where(l == 0.0, 1.0, l)).astype(out_ref.dtype)
 
+    args = [meta, kinds, qf, kf, vf, doc_id_q, doc_id, nbr_bits_q]
+    if use_mask_tiles:
+        args.append(tile_masks_from_metadata(
+            doc_id, nbr_bits, sys_user_len, valid_len, block_q, block_k,
+            doc_id_q=doc_id_q, nbr_bits_q=nbr_bits_q, q_offset=q_offset))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -573,7 +640,7 @@ def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(meta, kinds, qf, kf, vf, doc_id_q, doc_id, nbr_bits_q)
+    )(*args)
 
     return out.reshape(B, H, Lq, Dh)
 

@@ -221,3 +221,29 @@ def test_flash_kernel_beyond_31_docs():
                 assert not tile.any(), (qi, ki)
             elif kinds[qi, ki] == BLOCK_FULL:
                 assert tile.all(), (qi, ki)
+
+
+def test_kvres_mask_tiles_matches_reference():
+    """Precomputed-mask-tile path (use_mask_tiles=True): identical to the
+    reference; masks are streamed as int8 tiles instead of recomputed
+    per (layer, head, tile) on the VPU."""
+    from sdag_tpu.ops.attention import sdag_flash_attention_kvres
+    rng = np.random.default_rng(3)
+    B, H, L, Dh = 2, 4, 256, 64
+    layout = BlockLayout(230, 40, ((40, 80), (85, 130), (132, 180)), 185)
+    doc_id, bits, sul = layout_to_metadata(layout, doc_neighbors=[[1], [], [0]],
+                                           pad_to=L)
+    doc_id = np.stack([doc_id] * B)
+    bits = np.stack([bits] * B)
+    q = rng.standard_normal((B, H, L, Dh)).astype(np.float32)
+    k = rng.standard_normal((B, 2, L, Dh)).astype(np.float32)  # GQA
+    v = rng.standard_normal((B, 2, L, Dh)).astype(np.float32)
+    args = [jnp.asarray(x) for x in (q, k, v, doc_id, bits)]
+    sa, va = jnp.array([sul] * B), jnp.array([230, 200])
+    ref = np.asarray(sdag_attention_reference(*args, sys_user_len=sa,
+                                              valid_len=va))
+    out = np.asarray(sdag_flash_attention_kvres(
+        *args, sys_user_len=sa, valid_len=va, block_q=64, block_k=64,
+        interpret=True, use_mask_tiles=True))
+    for b, vl in enumerate([230, 200]):
+        assert np.abs(ref[b] - out[b])[:, :vl].max() < 3e-2
