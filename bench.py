@@ -145,24 +145,29 @@ def bench_sdag_prefill(iters: int = 20, L: int = 4096, n_docs: int = 20,
     causal_doc_id = jnp.full((B, L), -1, jnp.int32)
     zeros = jnp.zeros((B, L), jnp.int32)
 
-    def timed(fn, di, nb, sul):
+    def timed(fn, di, nb, sul, mt):
         @jax.jit
         def loop(q, k, v, di, nb):
             def body(i, acc):
-                o = fn(q * (1.0 + acc * 1e-9) + i * 1e-6, k, v, di, nb, sul)
+                o = fn(q * (1.0 + acc * 1e-9) + i * 1e-6, k, v, di, nb,
+                       sul, mt)
                 return acc + o[0, 0, 0, 0].astype(jnp.float32)
             return jax.lax.fori_loop(0, iters, body, 0.0)
         return _device_time(loop, q, k, v, di, nb) / iters
 
-    def flash(q, k, v, di, nb, sul):
-        # production dispatch: KV-resident Pallas schedule on TPU
+    def flash(q, k, v, di, nb, sul, mt):
+        # production dispatch: KV-resident Pallas schedule on TPU;
+        # precomputed mask tiles exactly as the generator's ISO path
+        # (llama.prefill: use_mask_tiles = doc structure present)
         return sdag_prefill_attention(q, k, v, di, nb, sul,
-                                      block_q=512, block_k=512)
+                                      block_q=512, block_k=512,
+                                      use_mask_tiles=mt)
 
-    sdag_s = timed(flash, doc_id, nbr_bits, sys_len)
-    causal_s = timed(flash, causal_doc_id, zeros, 0)
-    xla_s = timed(sdag_attention_reference, doc_id, nbr_bits, sys_len) \
-        if with_xla else 0.0
+    sdag_s = timed(flash, doc_id, nbr_bits, sys_len, True)
+    causal_s = timed(flash, causal_doc_id, zeros, 0, False)
+    xla_s = timed(lambda q, k, v, di, nb, sul, mt:
+                  sdag_attention_reference(q, k, v, di, nb, sul),
+                  doc_id, nbr_bits, sys_len, False) if with_xla else 0.0
     return sdag_s * 1e3, causal_s * 1e3, xla_s * 1e3
 
 

@@ -189,7 +189,8 @@ def layer_forward(layer: Dict[str, Any], cfg: DecoderConfig, x: jax.Array,
                   nbr_bits: jax.Array, sys_user_len: jax.Array,
                   valid_len: jax.Array, attn_impl: str = "auto",
                   block_q: int = 128, block_k: int = 128,
-                  with_kv: bool = False, tp_axis: Optional[str] = None):
+                  with_kv: bool = False, tp_axis: Optional[str] = None,
+                  use_mask_tiles: bool = False):
     """One decoder layer (attention + MLP with residuals).  Shared by the
     prefill loop and the pipeline-parallel stage scan (parallel/pipeline.py).
     Returns (x, (k, v)) — k/v only when with_kv.
@@ -208,7 +209,8 @@ def layer_forward(layer: Dict[str, Any], cfg: DecoderConfig, x: jax.Array,
     # GQA handled inside the attention op (kv never repeated in memory)
     attn_out = sdag_prefill_attention(
         q, k, v, doc_id, nbr_bits, sys_user_len, valid_len=valid_len,
-        impl=attn_impl, block_q=block_q, block_k=block_k)
+        impl=attn_impl, block_q=block_q, block_k=block_k,
+        use_mask_tiles=use_mask_tiles)
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, L, -1)
     x = x + _maybe_psum(attn_out @ layer["attn"]["wo"], tp_axis)
     x = x + _maybe_psum(
@@ -248,6 +250,7 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig,
             kv_dtype: str = "native",
             tp_axis: Optional[str] = None,
             logits_last_only: bool = False,
+            use_mask_tiles: Optional[bool] = None,
             ) -> Tuple[jax.Array, Optional[Dict[str, Any]]]:
     """Full-prompt forward.  input_ids: [B, L] right-padded.
 
@@ -259,6 +262,12 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig,
     """
     B, L = input_ids.shape
     cache_size = cache_size or L
+    # precomputed mask tiles pay off only with real doc structure (ISO
+    # prefill); the NO-ISO/causal path computes nothing per tile anyway.
+    # Callers that pass filled-with--1 doc_id (the generator compiles one
+    # fn per shape) override explicitly.
+    if use_mask_tiles is None:
+        use_mask_tiles = doc_id is not None
     if doc_id is None:
         doc_id = jnp.full((B, L), -1, jnp.int32)
     if nbr_bits is None:
@@ -283,7 +292,8 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig,
         x, kv = layer_forward(layer, cfg, x, positions, doc_id, nbr_bits,
                               sys_user_len, valid_len, attn_impl=attn_impl,
                               block_q=block_q, block_k=block_k,
-                              with_kv=with_cache, tp_axis=tp_axis)
+                              with_kv=with_cache, tp_axis=tp_axis,
+                              use_mask_tiles=use_mask_tiles)
         if with_cache:
             ks.append(kv[0])
             vs.append(kv[1])

@@ -142,7 +142,7 @@ class Generator:
         nbr_bits = np.stack([m[1] for m in metas])
         sys_user_len = np.asarray([m[2] for m in metas], np.int32)
         return self._run(ids, doc_id, nbr_bits, sys_user_len, lp,
-                         max_new_tokens)
+                         max_new_tokens, mask_tiles=True)
 
     def generate_ids(self, ids: Sequence[np.ndarray],
                      max_new_tokens: int = 128) -> List[str]:
@@ -153,11 +153,12 @@ class Generator:
         nbr_bits = np.zeros((b, lp), np.int32)
         sys_user_len = np.zeros((b,), np.int32)
         return self._run(ids, doc_id, nbr_bits, sys_user_len, lp,
-                         max_new_tokens)
+                         max_new_tokens, mask_tiles=False)
 
     # ----------------------------------------------------------- internal
     def _run(self, ids: Sequence[np.ndarray], doc_id, nbr_bits, sys_user_len,
-             lp: int, max_new_tokens: int) -> List[str]:
+             lp: int, max_new_tokens: int,
+             mask_tiles: bool = False) -> List[str]:
         b = len(ids)
         # batch-dim padding: (a) under data parallelism the batch must
         # divide the 'data' axis; (b) with batch_bucket set (the pipeline
@@ -182,7 +183,7 @@ class Generator:
             sys_user_len = np.concatenate(
                 [sys_user_len, np.zeros((bp - b,), np.int32)])
 
-        fn = self._get_compiled(bp, lp, max_new_tokens)
+        fn = self._get_compiled(bp, lp, max_new_tokens, mask_tiles)
         self._key, sub = jax.random.split(self._key)
         res = fn(self.params, jnp.asarray(batch_ids),
                  jnp.asarray(doc_id), jnp.asarray(nbr_bits),
@@ -207,10 +208,11 @@ class Generator:
                 toks, skip_special_tokens=True).strip())
         return texts
 
-    def _get_compiled(self, b: int, lp: int, max_new: int):
-        key = (b, lp, max_new)
+    def _get_compiled(self, b: int, lp: int, max_new: int,
+                      mask_tiles: bool = False):
+        key = (b, lp, max_new, mask_tiles)
         if key not in self._compiled:
-            self._compiled[key] = self._build(lp, max_new)
+            self._compiled[key] = self._build(lp, max_new, mask_tiles)
         return self._compiled[key]
 
     def _wrap(self, run):
@@ -241,9 +243,9 @@ class Generator:
             return key
         return jax.random.fold_in(key, jax.lax.axis_index(self.dp_axis))
 
-    def _build(self, lp: int, max_new: int):
+    def _build(self, lp: int, max_new: int, mask_tiles: bool = False):
         if self.speculative_draft > 0:
-            return self._build_speculative(lp, max_new)
+            return self._build_speculative(lp, max_new, mask_tiles)
         cfg = self.cfg
         eos = int(self.tokenizer.eos_token_id)
         pad = int(self.tokenizer.pad_token_id)
@@ -267,7 +269,8 @@ class Generator:
                 sys_user_len=sys_user_len, valid_len=valid_len,
                 cache_size=cache_size, attn_impl=attn_impl,
                 block_q=block, block_k=block, kv_dtype=kv_dtype,
-                tp_axis=tp, logits_last_only=True)
+                tp_axis=tp, logits_last_only=True,
+                use_mask_tiles=mask_tiles)
             last = logits[:, 0, :]
             key, sub = jax.random.split(key)
             cur = sample_tokens(sub, last, temperature, top_p)
@@ -323,7 +326,8 @@ class Generator:
 
         return self._wrap(run)
 
-    def _build_speculative(self, lp: int, max_new: int):
+    def _build_speculative(self, lp: int, max_new: int,
+                           mask_tiles: bool = False):
         """Decode with prompt-lookup speculation.
 
         Each round: (1) draft D tokens by continuing the most recent
@@ -360,7 +364,8 @@ class Generator:
                 sys_user_len=sys_user_len, valid_len=valid_len,
                 cache_size=cache_size, attn_impl=attn_impl,
                 block_q=block, block_k=block, tp_axis=tp,
-                kv_dtype=self.kv_cache_dtype, logits_last_only=True)
+                kv_dtype=self.kv_cache_dtype, logits_last_only=True,
+                use_mask_tiles=mask_tiles)
             last = logits[:, 0, :]
             key, sub = jax.random.split(key)
             cur0 = sample_tokens(sub, last, temperature, top_p)
