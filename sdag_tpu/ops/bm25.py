@@ -261,24 +261,38 @@ def bm25_postings_topk(post_docs: jax.Array, post_imps: jax.Array,
     lens = offsets[safe_t + 1] - starts
     lens = jnp.where(q_terms == PAD_TERM, 0, lens)
 
-    # per-slot windowed contiguous gathers, concatenated on the candidate
-    # axis: [Q, M] with M = sum(w_slots)*window
-    docs_parts, contrib_parts = [], []
+    # windowed contiguous gathers -> candidates [Q, M],
+    # M = sum(w_slots)*window.  Slots are grouped by window count (pow2
+    # bucketing upstream keeps the group count tiny) and each group runs
+    # ONE vectorized [Q, G, ws*window] gather — T separate gathers ran at
+    # ~half the throughput.
+    groups: dict = {}
     for s, ws in enumerate(w_slots):
-        if ws <= 0:
-            continue
-        span = jax.lax.iota(jnp.int32, ws * window)
-        pos = starts[:, s, None] + span[None, :]
-        valid = span[None, :] < lens[:, s, None]
-        pos = jnp.clip(pos, 0, p_pad - 1)
-        docs_parts.append(jnp.where(valid, post_docs[pos], _DOC_SENTINEL))
-        contrib_parts.append(
-            jnp.where(valid, post_imps[pos] * q_weights[:, s, None], 0.0))
-    if not docs_parts:
+        if ws > 0:
+            groups.setdefault(ws, []).append(s)
+    if not groups:
         return (jnp.full((qn, k), NEG_INF, jnp.float32),
                 jnp.full((qn, k), -1, jnp.int32))
-    docs = jnp.concatenate(docs_parts, axis=1)
-    contrib = jnp.concatenate(contrib_parts, axis=1).astype(jnp.float32)
+    docs_parts, contrib_parts = [], []
+    for ws, slots in sorted(groups.items()):
+        st = starts[:, slots]                       # [Q, G] (static cols)
+        ln = lens[:, slots]
+        qw = q_weights[:, slots]
+        span = jax.lax.iota(jnp.int32, ws * window)
+        pos = st[:, :, None] + span[None, None, :]
+        valid = span[None, None, :] < ln[:, :, None]
+        pos = jnp.clip(pos, 0, p_pad - 1)
+        g = len(slots) * ws * window
+        docs_parts.append(
+            jnp.where(valid, post_docs[pos], _DOC_SENTINEL).reshape(qn, g))
+        contrib_parts.append(
+            jnp.where(valid, post_imps[pos] * qw[:, :, None],
+                      0.0).reshape(qn, g))
+    docs = jnp.concatenate(docs_parts, axis=1) if len(docs_parts) > 1 \
+        else docs_parts[0]
+    contrib = (jnp.concatenate(contrib_parts, axis=1)
+               if len(contrib_parts) > 1
+               else contrib_parts[0]).astype(jnp.float32)
     m = docs.shape[1]
 
     # sort candidates by doc id (payload: contrib); stable so the
