@@ -187,9 +187,10 @@ def bench_e5_encode(iters: int = 4):
     ids = jax.random.randint(jax.random.PRNGKey(1), (B, L), 0,
                              cfg.vocab_size, jnp.int32)
     mask = jnp.ones((B, L), jnp.int32)
-    # production path on TPU: fused QKV + Pallas fused attention
-    # (E5Encoder defaults; ops/encoder_attention.py)
+    # production path on TPU: fused QKV + packed Pallas attention + tanh
+    # gelu (E5Encoder defaults; ops/encoder_attention.py)
     fused = jax.default_backend() == "tpu"
+    gelu = "tanh" if fused else "erf"
     if fused:
         params = fuse_qkv_params(params)
 
@@ -197,7 +198,7 @@ def bench_e5_encode(iters: int = 4):
     def loop(params, ids, mask):
         def body(i, acc):
             emb = encoder_forward(params, cfg, (ids + i) % cfg.vocab_size,
-                                  mask, fused_attention=fused)
+                                  mask, fused_attention=fused, gelu=gelu)
             return acc + emb[0, 0]
         return jax.lax.fori_loop(0, iters, body, 0.0)
 

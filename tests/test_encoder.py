@@ -133,13 +133,15 @@ def test_fused_attention_kernel_matches_reference():
                                       jax.numpy.asarray(k),
                                       jax.numpy.asarray(v),
                                       jax.numpy.asarray(vl))
-    got = encoder_attention_fused(jax.numpy.asarray(q),
-                                  jax.numpy.asarray(k),
-                                  jax.numpy.asarray(v),
+    # kernel v2 contract: [B, L, H, Dh] in, [B, L, H*Dh] out
+    got = encoder_attention_fused(jax.numpy.asarray(q.transpose(0, 2, 1, 3)),
+                                  jax.numpy.asarray(k.transpose(0, 2, 1, 3)),
+                                  jax.numpy.asarray(v.transpose(0, 2, 1, 3)),
                                   jax.numpy.asarray(vl), interpret=True)
+    got = np.asarray(got).reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
     # compare only rows < valid_len (padded rows are pooled away)
     for b in range(B):
-        np.testing.assert_allclose(np.asarray(got)[b, :, :vl[b]],
+        np.testing.assert_allclose(got[b, :, :vl[b]],
                                    np.asarray(ref)[b, :, :vl[b]],
                                    rtol=2e-5, atol=2e-5)
 
@@ -156,13 +158,56 @@ def test_encoder_fused_attention_end_to_end_matches():
     for i, n in enumerate([64, 3, 17, 50, 1]):
         mask[i, :n] = 1
     ref = encoder_forward(params, CFG, ids, mask)
-    orig = ea.encoder_attention_fused
+    orig = ea.encoder_attention_fused_qkv
     try:
-        ea.encoder_attention_fused = \
-            lambda q, k, v, vl: orig(q, k, v, vl, interpret=True)
+        ea.encoder_attention_fused_qkv = \
+            lambda qkv, vl, n_heads: orig(qkv, vl, n_heads=n_heads,
+                                          interpret=True)
         got = encoder_forward(fuse_qkv_params(params), CFG, ids, mask,
                               fused_attention=True)
     finally:
-        ea.encoder_attention_fused = orig
+        ea.encoder_attention_fused_qkv = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_fused_qkv_direct_kernel_matches_reference():
+    """Packed-qkv kernel entry (no split copies) == XLA reference: the
+    per-head index maps must pick q_h / k_h / v_h at 3H-axis indices
+    h / H+h / 2H+h of the projection layout."""
+    from sdag_tpu.ops.encoder_attention import (
+        encoder_attention_fused_qkv, encoder_attention_reference)
+    rng = np.random.default_rng(7)
+    B, H, L, Dh = 2, 4, 128, 32
+    q = rng.standard_normal((B, H, L, Dh)).astype(np.float32)
+    k = rng.standard_normal((B, H, L, Dh)).astype(np.float32)
+    v = rng.standard_normal((B, H, L, Dh)).astype(np.float32)
+    vl = np.array([128, 53], np.int32)
+    ref = encoder_attention_reference(*map(jax.numpy.asarray, (q, k, v)),
+                                      jax.numpy.asarray(vl))
+    # pack in projection layout: [B, L, 3d], columns [q heads | k | v]
+    packed = np.concatenate(
+        [t.transpose(0, 2, 1, 3).reshape(B, L, H * Dh) for t in (q, k, v)],
+        axis=2)
+    got = encoder_attention_fused_qkv(jax.numpy.asarray(packed),
+                                      jax.numpy.asarray(vl), n_heads=H,
+                                      interpret=True)
+    got = np.asarray(got).reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
+    for b in range(B):
+        np.testing.assert_allclose(got[b, :, :vl[b]],
+                                   np.asarray(ref)[b, :, :vl[b]],
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_gelu_tanh_close_to_erf():
+    """The TPU-production tanh gelu must stay within a pinned cosine of
+    the exact-erf embeddings (the documented fast-path quality bound)."""
+    params = init_encoder_params(jax.random.PRNGKey(2), CFG)
+    rng = np.random.default_rng(11)
+    ids = rng.integers(1, CFG.vocab_size, size=(6, 64)).astype(np.int32)
+    mask = np.ones((6, 64), np.int32)
+    mask[2, 40:] = 0
+    a = np.asarray(encoder_forward(params, CFG, ids, mask, gelu="erf"))
+    b = np.asarray(encoder_forward(params, CFG, ids, mask, gelu="tanh"))
+    cos = np.sum(a * b, axis=1)  # embeddings are L2-normalized
+    assert cos.min() >= 0.9999, cos
