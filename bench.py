@@ -355,6 +355,16 @@ def main() -> None:
             print(f"[bench] {name}: {time.time() - t0:.1f}s",
                   file=sys.stderr)
 
+    def require_recall(name, recall, target=0.99):
+        # Production-default paths promise >=0.99 recall@10 (config.py
+        # DENSE_SEARCH_MODE docstring).  CPU CI can't see a TPU-only
+        # approx_max_k regression, so the bench is the enforcement point:
+        # below-target recall FAILS the run, not just a low metric.
+        if recall is not None and recall < target:
+            failures.append(f"{name}_recall<{target}")
+            print(f"[bench] RECALL REGRESSION {name}: {recall:.4f} < "
+                  f"{target}", file=sys.stderr)
+
     # ---- SDAG prefill
     r = safe("sdag_prefill", bench_sdag_prefill)
     if r:
@@ -533,6 +543,7 @@ def main() -> None:
               i8r[0] / cpu_qps)
         _emit("dense_recall_at10_int8_rescored", i8r[1], "recall",
               i8r[1] / 0.99)
+        require_recall("dense_int8_rescored", i8r[1])
 
     # ---- dense retrieval at HBM scale (VERDICT r2 item 2): N=1M bf16 and
     # N=4M int8 — corpus GENERATED ON DEVICE (a 2-4 GB host upload through
@@ -597,6 +608,7 @@ def main() -> None:
         _emit("dense_retrieval_qps_bf16_n1M_d1024_k10", qps1m, "qps/chip",
               qps1m / cpu1m)
         _emit("dense_recall_at10_bf16_n1M", rec1m, "recall", rec1m / 0.99)
+        require_recall("dense_bf16_n1M", rec1m)
 
     def bench_dense_4m_int8():
         import gc
@@ -675,6 +687,7 @@ def main() -> None:
     if bf16:
         _emit("dense_recall_at10_vs_exact_f32", bf16[1], "recall",
               bf16[1] / 0.99)  # >=1.0 passes the BASELINE.md parity target
+        require_recall("dense_bf16_default", bf16[1])
         _emit("dense_retrieval_qps_per_chip_n100k_d1024_k10", bf16[0],
               "qps/chip", bf16[0] / cpu_qps)
 

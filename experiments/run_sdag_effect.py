@@ -35,7 +35,8 @@ from sdag_tpu.utils.synth_qa import (load_world, write_attack_csv,
 
 
 def run_grid(ckpt: str, out_dir: str, n_mal: int, positions, top_k: int,
-             temperature: float, platform: str) -> dict:
+             temperature: float, platform: str,
+             speculative: int = 0) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     world = load_world(os.path.join(ckpt, "world.json"))
     corpus = os.path.join(out_dir, "corpus.jsonl")
@@ -58,6 +59,7 @@ def run_grid(ckpt: str, out_dir: str, n_mal: int, positions, top_k: int,
         "MAX_MALICIOUS_DOCS_PER_QUERY": n_mal,
         "MALICIOUS_DOC_SELECTION_STRATEGY": "random",
         "LLM_CHECKPOINT": ckpt,
+        "SPECULATIVE_DRAFT_LEN": speculative,
         "LLM_BATCH_SIZE": 16,
         "BATCH_SIZE_EMBED_Q": 32,
         "MAX_GEN_TOKENS_RAG": 24,
@@ -84,9 +86,13 @@ def run_grid(ckpt: str, out_dir: str, n_mal: int, positions, top_k: int,
     with open(os.path.join(run_out, "run.log"), "w") as fh:
         fh.write(proc.stdout)
         fh.write("\n--- stderr ---\n" + proc.stderr[-20000:])
+    status = {"rc": proc.returncode, "wall_s": round(wall, 1),
+              "n_queries": len(facts), "n_mal": n_mal}
+    for line in proc.stdout.splitlines():
+        if line.startswith("[spec] "):   # measured acceptance report
+            status["spec_report"] = line
     with open(os.path.join(run_out, "wall.json"), "w") as fh:
-        json.dump({"rc": proc.returncode, "wall_s": round(wall, 1),
-                   "n_queries": len(facts), "n_mal": n_mal}, fh)
+        json.dump(status, fh)
     print(f"[sdag_effect] n_mal={n_mal}: rc={proc.returncode} "
           f"wall={wall:.0f}s", flush=True)
     if proc.returncode != 0:
@@ -118,13 +124,20 @@ def main() -> None:
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--platform", default="",
                    help="e.g. 'cpu' to force CPU for the pipeline run")
+    p.add_argument("--speculative", type=int, default=0,
+                   help="SPECULATIVE_DRAFT_LEN (0 = off); measured "
+                        "accepted-drafts/round lands in wall.json — on "
+                        "the TRAINED copy-from-context workload this is "
+                        "the meaningful acceptance number (the random-"
+                        "weight grids measure ~0 by construction)")
     args = p.parse_args()
 
     summary = {}
     for n_mal in args.n_mal:
         summary[n_mal] = run_grid(args.ckpt, args.out, n_mal,
                                   args.positions, args.top_k,
-                                  args.temperature, args.platform)
+                                  args.temperature, args.platform,
+                                  speculative=args.speculative)
 
     lines = ["# SDAG effect (tiny trained decoder, held-out entities)", "",
              "| n_mal | attack pos | ACC iso | ACC noiso | ASR iso | "

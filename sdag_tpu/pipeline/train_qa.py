@@ -47,7 +47,8 @@ from sdag_tpu.parallel.train import (make_sharded_train_scan,
                                      make_sharded_train_step)
 from sdag_tpu.sdag.spans import build_rag_prompt_plan
 from sdag_tpu.utils.synth_qa import (Fact, World, fact_doc, fact_query,
-                                     make_world, random_fact, save_world)
+                                     make_world, random_fact, save_world,
+                                     styled_fact_doc)
 
 
 AUX_LM_WEIGHT = 0.1
@@ -64,15 +65,33 @@ def build_example(rng: np.random.Generator, tokenizer, fact: Fact,
     flat at the pseudoword-LM entropy).  iso=True applies the SDAG doc
     metadata at prefill; iso=False is the plain causal (NO-ISO) prefill.
     pool=None draws FRESH random distractor facts (stream mode — see
-    random_fact)."""
+    random_fact).
+
+    Surface/shape robustness (all CLEAN — every doc asserts a true value):
+    each doc renders as the plain template or, with prob ~0.3, as a
+    styled_fact_doc (the poison generator's query-echo + authority-tail
+    surface form, true value); and with prob ~0.25 the GT fact is
+    REPEATED 2..k times in mixed styles.  Without these, an eval context
+    of k near-identical poison-template docs (n_mal=k) is off-
+    distribution and the model degenerates into garbage instead of
+    copying the asserted value (sdag_effect r3, n_mal=5 rows)."""
+    def render(f: Fact) -> str:
+        if rng.random() < 0.3:
+            return styled_fact_doc(f, int(rng.integers(0, 5)))
+        return fact_doc(f)
+
+    n_gt = 1
+    if k >= 2 and rng.random() < 0.25:
+        n_gt = int(rng.integers(2, k + 1))
     if pool is None:
-        docs = [fact_doc(random_fact(rng)) for _ in range(k - 1)]
+        docs = [render(random_fact(rng)) for _ in range(k - n_gt)]
     else:
         others = [f for f in pool if f is not fact]
-        picks = rng.choice(len(others), size=min(k - 1, len(others)),
+        picks = rng.choice(len(others), size=min(k - n_gt, len(others)),
                            replace=False)
-        docs = [fact_doc(others[int(i)]) for i in picks]
-    docs.insert(int(rng.integers(0, len(docs) + 1)), fact_doc(fact))
+        docs = [render(others[int(i)]) for i in picks]
+    for _ in range(n_gt):
+        docs.insert(int(rng.integers(0, len(docs) + 1)), render(fact))
     plan = build_rag_prompt_plan(tokenizer, fact_query(fact), docs)
     ans = (tokenizer.encode(fact.value, add_special_tokens=False)
            + [tokenizer.eos_token_id])
