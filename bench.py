@@ -333,6 +333,76 @@ def bench_bm25(iters: int = 20):
     return tpu_qps, cpu_qps, post_qps
 
 
+def bench_bm25_zipf(iters: int = 20):
+    """Zipfian-corpus BM25 (ADVICE r2 medium): the uniform-df bench hides
+    the case one ubiquitous term used to inflate every query's gather.
+    Term ids follow p(rank) ~ rank^-1.1 over V=50k (head terms hit nearly
+    every doc), queries draw from the same law.  Windows are sized from
+    the batch's ACTUAL per-term dfs exactly as production does
+    (retrieval/sparse.py _order_slots_by_df), including the candidate-
+    budget scan fallback decision.  Returns (postings QPS under Zipf,
+    summed candidate count, fell_back)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdag_tpu.ops.bm25 import PAD_TERM, bm25_postings_topk
+    from sdag_tpu.retrieval.sparse import _csr_from_packed
+
+    rng = np.random.default_rng(5)
+    N, T, V, Q, QT, K = 100_000, 128, 50_000, 32, 8, 10
+    WINDOW, BUDGET = 512, 1 << 20   # sparse.py POSTINGS_* constants
+    ranks = np.arange(1, V + 1, dtype=np.float64)
+    p = ranks ** -1.1
+    p /= p.sum()
+    term_ids = rng.choice(V, size=(N, T), p=p).astype(np.int32)
+    # dedupe row-internal repeats to PAD (vectorized; Zipf rows repeat a
+    # lot — builder aggregates tf per term, CSR assumes distinct terms)
+    order = np.argsort(term_ids, axis=1, kind="stable")
+    srt = np.take_along_axis(term_ids, order, axis=1)
+    dup = np.concatenate([np.zeros((N, 1), bool),
+                          srt[:, 1:] == srt[:, :-1]], axis=1)
+    rows = np.repeat(np.arange(N), T).reshape(N, T)
+    term_ids[rows[dup], order[dup]] = PAD_TERM
+    impacts = rng.random((N, T)).astype(np.float32) * 4.0
+    impacts[term_ids == PAD_TERM] = 0.0
+    q_terms = rng.choice(V, size=(Q, QT), p=p).astype(np.int32)
+    q_weights = np.ones((Q, QT), np.float32)
+
+    docs, imps, offsets, _max_df = _csr_from_packed(term_ids, impacts, V)
+    term_df = np.diff(offsets.astype(np.int64))
+    # production slot ordering + pow2 window sizing from actual dfs
+    df = np.where(q_terms == PAD_TERM, np.int64(-1), term_df[q_terms])
+    so = np.argsort(-df, axis=1, kind="stable")
+    q_terms = np.take_along_axis(q_terms, so, axis=1)
+    dfmax = np.take_along_axis(df, so, axis=1).max(axis=0)
+    w_slots = []
+    for d in dfmax:
+        if d <= 0:
+            w_slots.append(0)
+            continue
+        need = -(-int(d) // WINDOW)
+        ws = 1
+        while ws < need:
+            ws *= 2
+        w_slots.append(ws)
+    m_total = sum(w_slots) * WINDOW
+    fell_back = m_total > BUDGET
+    dj, pj, oj = jnp.asarray(docs), jnp.asarray(imps), jnp.asarray(offsets)
+    qj, wj = jnp.asarray(q_terms), jnp.asarray(q_weights)
+    ws = tuple(w_slots)
+
+    @jax.jit
+    def loop(dj, pj, oj, qj, wj):
+        def body(i, acc):
+            vals, _ = bm25_postings_topk(dj, pj, oj, qj, wj + acc * 1e-9,
+                                         K, w_slots=ws, window=WINDOW)
+            return acc + vals[0, 0]
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    dt = _device_time(loop, dj, pj, oj, qj, wj) / iters
+    return Q / dt, m_total, fell_back
+
+
 def _emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
     print(json.dumps({"metric": metric, "value": round(value, 3),
                       "unit": unit, "vs_baseline": round(vs_baseline, 3)}),
@@ -454,6 +524,15 @@ def main() -> None:
               tpu_qps / cpu_qps)
         _emit("bm25_qps_n100k_t128_k10", post_qps, "qps/chip",
               post_qps / cpu_qps)
+
+    rz = safe("bm25_zipf", bench_bm25_zipf)
+    if rz and r:
+        zqps, m_total, fell_back = rz
+        # vs_baseline: ratio to the uniform-df postings QPS — how much a
+        # realistic head-heavy term law costs the default engine
+        _emit("bm25_qps_zipf_s1.1_n100k", zqps, "qps/chip", zqps / r[2])
+        _emit("bm25_zipf_candidates_per_batch", float(m_total), "entries",
+              float(not fell_back))
 
     # ---- dense retrieval (headline LAST)
     rng = np.random.default_rng(0)

@@ -56,7 +56,8 @@ AUX_LM_WEIGHT = 0.1
 
 def build_example(rng: np.random.Generator, tokenizer, fact: Fact,
                   pool: Optional[List[Fact]], k: int, iso: bool,
-                  seq_len: int) -> Optional[Dict[str, np.ndarray]]:
+                  seq_len: int, styled_frac: float = 0.3,
+                  dup_frac: float = 0.25) -> Optional[Dict[str, np.ndarray]]:
     """One training example: k-doc RAG prompt (GT doc at a random rank,
     distractors drawn from other facts) + the answer.  Loss weights: 1.0
     on the answer tokens, AUX_LM_WEIGHT on the whole prompt — the
@@ -74,14 +75,20 @@ def build_example(rng: np.random.Generator, tokenizer, fact: Fact,
     REPEATED 2..k times in mixed styles.  Without these, an eval context
     of k near-identical poison-template docs (n_mal=k) is off-
     distribution and the model degenerates into garbage instead of
-    copying the asserted value (sdag_effect r3, n_mal=5 rows)."""
+    copying the asserted value (sdag_effect r3, n_mal=5 rows).
+
+    Ablation caveat (measured, experiments/results/sdag_effect):
+    dup_frac>0 teaches the model that cross-doc repetition is normal
+    evidence, which AMPLIFIES repeated-claim poisoning in both modes and
+    narrows the ISO-vs-NOISO ASR gap; styled_frac alone fixes the
+    template shock without that side effect."""
     def render(f: Fact) -> str:
-        if rng.random() < 0.3:
+        if rng.random() < styled_frac:
             return styled_fact_doc(f, int(rng.integers(0, 5)))
         return fact_doc(f)
 
     n_gt = 1
-    if k >= 2 and rng.random() < 0.25:
+    if k >= 2 and rng.random() < dup_frac:
         n_gt = int(rng.integers(2, k + 1))
     if pool is None:
         docs = [render(random_fact(rng)) for _ in range(k - n_gt)]
@@ -119,7 +126,8 @@ def build_example(rng: np.random.Generator, tokenizer, fact: Fact,
 def sample_batch(rng: np.random.Generator, tokenizer,
                  pool: Optional[List[Fact]], batch: int, seq_len: int,
                  k_min: int = 2, k_max: int = 10,
-                 iso_frac: float = 0.5) -> Dict[str, jnp.ndarray]:
+                 iso_frac: float = 0.5, styled_frac: float = 0.3,
+                 dup_frac: float = 0.25) -> Dict[str, jnp.ndarray]:
     """pool=None = stream mode: every example's facts are fresh
     pseudowords, so the model can only learn answer-from-context."""
     exs = []
@@ -129,7 +137,8 @@ def sample_batch(rng: np.random.Generator, tokenizer,
         k = int(rng.integers(k_min, k_max + 1))
         ex = build_example(rng, tokenizer, fact, pool, k,
                            iso=bool(rng.random() < iso_frac),
-                           seq_len=seq_len)
+                           seq_len=seq_len, styled_frac=styled_frac,
+                           dup_frac=dup_frac)
         if ex is not None:
             exs.append(ex)
     return {key: jnp.asarray(np.stack([e[key] for e in exs]))
@@ -162,7 +171,8 @@ def decompress_batch(batch):
 def sample_batch_stack(rng: np.random.Generator, tokenizer,
                        pool: Optional[List[Fact]], chunk: int, batch: int,
                        seq_len: int, k_min: int = 2, k_max: int = 10,
-                       iso_frac: float = 0.5) -> Dict[str, np.ndarray]:
+                       iso_frac: float = 0.5, styled_frac: float = 0.3,
+                       dup_frac: float = 0.25) -> Dict[str, np.ndarray]:
     """[S, B, ...] stack of S compressed batches for the scan driver."""
     stacks = []
     for _ in range(chunk):
@@ -173,7 +183,8 @@ def sample_batch_stack(rng: np.random.Generator, tokenizer,
             k = int(rng.integers(k_min, k_max + 1))
             ex = build_example(rng, tokenizer, fact, pool, k,
                                iso=bool(rng.random() < iso_frac),
-                               seq_len=seq_len)
+                               seq_len=seq_len, styled_frac=styled_frac,
+                               dup_frac=dup_frac)
             if ex is not None:
                 exs.append(ex)
         stacks.append(compress_batch_np(exs))
@@ -234,6 +245,13 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--seq-len", type=int, default=768)
     p.add_argument("--k-max", type=int, default=10)
     p.add_argument("--eval-every", type=int, default=250)
+    p.add_argument("--styled-frac", type=float, default=0.3,
+                   help="fraction of docs rendered in the poison surface "
+                        "template with the TRUE value")
+    p.add_argument("--dup-frac", type=float, default=0.25,
+                   help="fraction of contexts repeating the GT fact 2..k "
+                        "times (0 preserves the ISO-gap — see "
+                        "build_example ablation caveat)")
     p.add_argument("--mesh-data", type=int, default=0)
     p.add_argument("--scan-chunk", type=int, default=25,
                    help="steps per jitted lax.scan call (amortizes "
@@ -280,7 +298,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     rng = np.random.default_rng(args.seed + 7)
     extra = {"trained_on": "synth_qa", "steps": args.steps,
              "entities": args.entities, "seed": args.seed,
-             "k_max": args.k_max, "seq_len": args.seq_len}
+             "k_max": args.k_max, "seq_len": args.seq_len,
+             "styled_frac": args.styled_frac, "dup_frac": args.dup_frac}
 
     def save(st, tag=""):
         save_decoder(st.params, cfg, args.out, extra=extra)
@@ -297,7 +316,9 @@ def main(argv: Optional[List[str]] = None) -> None:
             stacked = sample_batch_stack(rng, tokenizer, train_pool, s,
                                          args.batch, args.seq_len,
                                          k_min=args.k_min,
-                                         k_max=args.k_max)
+                                         k_max=args.k_max,
+                                         styled_frac=args.styled_frac,
+                                         dup_frac=args.dup_frac)
             state, ls = scan_fn(state, {k: jnp.asarray(v)
                                         for k, v in stacked.items()})
             losses.extend(float(x) for x in np.asarray(ls))
@@ -305,7 +326,9 @@ def main(argv: Optional[List[str]] = None) -> None:
         else:
             batch = sample_batch(rng, tokenizer, train_pool, args.batch,
                                  args.seq_len, k_min=args.k_min,
-                                 k_max=args.k_max)
+                                 k_max=args.k_max,
+                                 styled_frac=args.styled_frac,
+                                 dup_frac=args.dup_frac)
             state, loss = step_fn(state, batch)
             losses.append(float(loss))
             step += 1
