@@ -62,6 +62,32 @@ def _device_time(fn, *args, iters_hint: int = 1, repeats: int = 2) -> float:
     return max(best, 1e-9)
 
 
+def _device_time_delta(make_loop, *args, iters: int, scale: int = 4,
+                       repeats: int = 3) -> float:
+    """Per-iteration device time via a TWO-POINT measurement: wall(N) and
+    wall(scale*N) of the same fori_loop body, slope = per-iter cost.
+    The subtraction cancels ALL fixed overhead (relay RTT, dispatch,
+    fetch) exactly, where the old fixed-RTT subtraction left short
+    workloads timer-floor-dominated (the BM25 postings bench read 60-75k
+    QPS at 20 iters and 176k at 400 — same op, same chip).
+
+    make_loop(n) must return a jitted fn running the body n times with a
+    data dependency between iterations.  Returns seconds per iteration.
+    """
+    lo, hi = make_loop(iters), make_loop(iters * scale)
+    np.asarray(lo(*args))   # compile + warm both
+    np.asarray(hi(*args))
+    best_lo = best_hi = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        np.asarray(lo(*args))
+        best_lo = min(best_lo, time.time() - t0)
+        t0 = time.time()
+        np.asarray(hi(*args))
+        best_hi = min(best_hi, time.time() - t0)
+    return max(best_hi - best_lo, 1e-9) / (iters * (scale - 1))
+
+
 # ------------------------------------------------------------ dense top-k
 def bench_dense_qps(q, c, k: int, dtype_name: str, iters: int = 50,
                     exact=None, mode: str = "approx") -> float:
@@ -88,14 +114,16 @@ def bench_dense_qps(q, c, k: int, dtype_name: str, iters: int = 50,
         recall = float(np.mean([len(set(i16[r]) & set(exact[r])) / 10
                                 for r in range(q.shape[0])]))
 
-    @jax.jit
-    def loop(qj, cj):
-        def body(i, acc):
-            v, _ = search(qj + acc * 1e-9 + i * 1e-6, cj, k)
-            return acc + v[0, 0]
-        return jax.lax.fori_loop(0, iters, body, 0.0)
+    def make_loop(n):
+        @jax.jit
+        def loop(qj, cj):
+            def body(i, acc):
+                v, _ = search(qj + acc * 1e-9 + i * 1e-6, cj, k)
+                return acc + v[0, 0]
+            return jax.lax.fori_loop(0, n, body, 0.0)
+        return loop
 
-    dt = _device_time(loop, qj, cj) / iters
+    dt = _device_time_delta(make_loop, qj, cj, iters=iters)
     return q.shape[0] / dt, recall
 
 
@@ -146,14 +174,16 @@ def bench_sdag_prefill(iters: int = 20, L: int = 4096, n_docs: int = 20,
     zeros = jnp.zeros((B, L), jnp.int32)
 
     def timed(fn, di, nb, sul, mt):
-        @jax.jit
-        def loop(q, k, v, di, nb):
-            def body(i, acc):
-                o = fn(q * (1.0 + acc * 1e-9) + i * 1e-6, k, v, di, nb,
-                       sul, mt)
-                return acc + o[0, 0, 0, 0].astype(jnp.float32)
-            return jax.lax.fori_loop(0, iters, body, 0.0)
-        return _device_time(loop, q, k, v, di, nb) / iters
+        def make_loop(n):
+            @jax.jit
+            def loop(q, k, v, di, nb):
+                def body(i, acc):
+                    o = fn(q * (1.0 + acc * 1e-9) + i * 1e-6, k, v, di,
+                           nb, sul, mt)
+                    return acc + o[0, 0, 0, 0].astype(jnp.float32)
+                return jax.lax.fori_loop(0, n, body, 0.0)
+            return loop
+        return _device_time_delta(make_loop, q, k, v, di, nb, iters=iters)
 
     def flash(q, k, v, di, nb, sul, mt):
         # production dispatch: KV-resident Pallas schedule on TPU;
@@ -278,14 +308,16 @@ def bench_bm25(iters: int = 20):
     tj, ij = jnp.asarray(term_ids), jnp.asarray(impacts)
     qj, wj = jnp.asarray(q_terms), jnp.asarray(q_weights)
 
-    @jax.jit
-    def loop(tj, ij, qj, wj):
-        def body(i, acc):
-            vals, _ = bm25_topk(tj, ij, qj, wj + acc * 1e-9, K)
-            return acc + vals[0, 0]
-        return jax.lax.fori_loop(0, iters, body, 0.0)
+    def make_scan_loop(n):
+        @jax.jit
+        def loop(tj, ij, qj, wj):
+            def body(i, acc):
+                vals, _ = bm25_topk(tj, ij, qj, wj + acc * 1e-9, K)
+                return acc + vals[0, 0]
+            return jax.lax.fori_loop(0, n, body, 0.0)
+        return loop
 
-    dt = _device_time(loop, tj, ij, qj, wj) / iters
+    dt = _device_time_delta(make_scan_loop, tj, ij, qj, wj, iters=iters)
     tpu_qps = Q / dt
 
     # postings (CSR) engine — the production default (BM25_ENGINE)
@@ -296,15 +328,21 @@ def bench_bm25(iters: int = 20):
     pj = jnp.asarray(imps)
     oj = jnp.asarray(offsets)
 
-    @jax.jit
-    def loop_post(dj, pj, oj, qj, wj):
-        def body(i, acc):
-            vals, _ = bm25_postings_topk(dj, pj, oj, qj, wj + acc * 1e-9,
-                                         K, w_slots=w_max, window=window)
-            return acc + vals[0, 0]
-        return jax.lax.fori_loop(0, iters, body, 0.0)
+    def make_post_loop(n):
+        @jax.jit
+        def loop_post(dj, pj, oj, qj, wj):
+            def body(i, acc):
+                vals, _ = bm25_postings_topk(dj, pj, oj, qj,
+                                             wj + acc * 1e-9, K,
+                                             w_slots=w_max, window=window)
+                return acc + vals[0, 0]
+            return jax.lax.fori_loop(0, n, body, 0.0)
+        return loop_post
 
-    dt_post = _device_time(loop_post, dj, pj, oj, qj, wj) / iters
+    # 182 us/batch: 20 iters sat on the relay timer floor (75k "QPS");
+    # the two-point delta reads the true per-iter cost
+    dt_post = _device_time_delta(make_post_loop, dj, pj, oj, qj, wj,
+                                 iters=max(iters, 100))
     post_qps = Q / dt_post
 
     # host baseline: inverted-index accumulate (Lucene-equivalent work).
@@ -391,15 +429,19 @@ def bench_bm25_zipf(iters: int = 20):
     qj, wj = jnp.asarray(q_terms), jnp.asarray(q_weights)
     ws = tuple(w_slots)
 
-    @jax.jit
-    def loop(dj, pj, oj, qj, wj):
-        def body(i, acc):
-            vals, _ = bm25_postings_topk(dj, pj, oj, qj, wj + acc * 1e-9,
-                                         K, w_slots=ws, window=WINDOW)
-            return acc + vals[0, 0]
-        return jax.lax.fori_loop(0, iters, body, 0.0)
+    def make_loop(n):
+        @jax.jit
+        def loop(dj, pj, oj, qj, wj):
+            def body(i, acc):
+                vals, _ = bm25_postings_topk(dj, pj, oj, qj,
+                                             wj + acc * 1e-9, K,
+                                             w_slots=ws, window=WINDOW)
+                return acc + vals[0, 0]
+            return jax.lax.fori_loop(0, n, body, 0.0)
+        return loop
 
-    dt = _device_time(loop, dj, pj, oj, qj, wj) / iters
+    dt = _device_time_delta(make_loop, dj, pj, oj, qj, wj,
+                            iters=iters, scale=2)
     return Q / dt, m_total, fell_back
 
 
@@ -568,15 +610,17 @@ def main() -> None:
         qv, sc = quantize_rows_int8(c)
         qj, qvi, scj = jnp.asarray(q), jnp.asarray(qv), jnp.asarray(sc)
 
-        @jax.jit
-        def loop(qj, qv, sc):
-            def body(i, acc):
-                v, _ = approx_topk_matmul_int8(qj + acc * 1e-9 + i * 1e-6,
-                                               qv, sc, K)
-                return acc + v[0, 0]
-            return jax.lax.fori_loop(0, 50, body, 0.0)
+        def make_loop(n):
+            @jax.jit
+            def loop(qj, qv, sc):
+                def body(i, acc):
+                    v, _ = approx_topk_matmul_int8(
+                        qj + acc * 1e-9 + i * 1e-6, qv, sc, K)
+                    return acc + v[0, 0]
+                return jax.lax.fori_loop(0, n, body, 0.0)
+            return loop
 
-        dt = _device_time(loop, qj, qvi, scj) / 50
+        dt = _device_time_delta(make_loop, qj, qvi, scj, iters=50)
         _, i8 = approx_topk_matmul_int8(qj, qvi, scj, 10)
         i8 = np.asarray(i8)
         rec = float(np.mean([len(set(i8[r]) & set(exact[r])) / 10
@@ -599,15 +643,17 @@ def main() -> None:
         b, sb, rv, sr = quantize_rows_int8_residual(c)
         qj, bj, sbj, rj, srj = map(jnp.asarray, (q, b, sb, rv, sr))
 
-        @jax.jit
-        def loop(qj, bj, sbj, rj, srj):
-            def body(t, acc):
-                v, _ = rescored_topk_int8(qj + acc * 1e-9 + t * 1e-6,
-                                          bj, sbj, rj, srj, K)
-                return acc + v[0, 0]
-            return jax.lax.fori_loop(0, 50, body, 0.0)
+        def make_loop(n):
+            @jax.jit
+            def loop(qj, bj, sbj, rj, srj):
+                def body(t, acc):
+                    v, _ = rescored_topk_int8(qj + acc * 1e-9 + t * 1e-6,
+                                              bj, sbj, rj, srj, K)
+                    return acc + v[0, 0]
+                return jax.lax.fori_loop(0, n, body, 0.0)
+            return loop
 
-        dt = _device_time(loop, qj, bj, sbj, rj, srj) / 50
+        dt = _device_time_delta(make_loop, qj, bj, sbj, rj, srj, iters=50)
         _, i = rescored_topk_int8(qj, bj, sbj, rj, srj, 10)
         i = np.asarray(i)
         rec = float(np.mean([len(set(i[r]) & set(exact[r])) / 10
