@@ -375,20 +375,20 @@ def bench_bm25_zipf(iters: int = 20):
     """Zipfian-corpus BM25 (ADVICE r2 medium): the uniform-df bench hides
     the case one ubiquitous term used to inflate every query's gather.
     Term ids follow p(rank) ~ rank^-1.1 over V=50k (head terms hit nearly
-    every doc), queries draw from the same law.  Windows are sized from
-    the batch's ACTUAL per-term dfs exactly as production does
-    (retrieval/sparse.py _order_slots_by_df), including the candidate-
-    budget scan fallback decision.  Returns (postings QPS under Zipf,
-    summed candidate count, fell_back)."""
+    every doc), queries draw from the same law.  Runs the PRODUCTION
+    engine decision end-to-end (retrieval/sparse.py): heavy terms ride
+    the MXU dense sidecar, tail terms walk CSR postings, budget fallback
+    included.  Returns (QPS, light candidates/query, heavy terms used)."""
     import jax
     import jax.numpy as jnp
 
-    from sdag_tpu.ops.bm25 import PAD_TERM, bm25_postings_topk
-    from sdag_tpu.retrieval.sparse import _csr_from_packed
+    from sdag_tpu.core.mesh import make_index_mesh
+    from sdag_tpu.ops.bm25 import (PAD_TERM, bm25_hybrid_topk,
+                                   bm25_postings_topk)
+    from sdag_tpu.retrieval.sparse import BM25Index, _round_up
 
     rng = np.random.default_rng(5)
     N, T, V, Q, QT, K = 100_000, 128, 50_000, 32, 8, 10
-    WINDOW, BUDGET = 512, 1 << 20   # sparse.py POSTINGS_* constants
     ranks = np.arange(1, V + 1, dtype=np.float64)
     p = ranks ** -1.1
     p /= p.sum()
@@ -406,43 +406,66 @@ def bench_bm25_zipf(iters: int = 20):
     q_terms = rng.choice(V, size=(Q, QT), p=p).astype(np.int32)
     q_weights = np.ones((Q, QT), np.float32)
 
-    docs, imps, offsets, _max_df = _csr_from_packed(term_ids, impacts, V)
-    term_df = np.diff(offsets.astype(np.int64))
-    # production slot ordering + pow2 window sizing from actual dfs
-    df = np.where(q_terms == PAD_TERM, np.int64(-1), term_df[q_terms])
-    so = np.argsort(-df, axis=1, kind="stable")
-    q_terms = np.take_along_axis(q_terms, so, axis=1)
-    dfmax = np.take_along_axis(df, so, axis=1).max(axis=0)
-    w_slots = []
-    for d in dfmax:
-        if d <= 0:
-            w_slots.append(0)
-            continue
-        need = -(-int(d) // WINDOW)
-        ws = 1
-        while ws < need:
-            ws *= 2
-        w_slots.append(ws)
-    m_total = sum(w_slots) * WINDOW
-    fell_back = m_total > BUDGET
-    dj, pj, oj = jnp.asarray(docs), jnp.asarray(imps), jnp.asarray(offsets)
+    # production index internals on the synthetic packed arrays (the
+    # load() construction path), single shard
+    idx = BM25Index.__new__(BM25Index)
+    idx.engine = "postings"
+    idx.mesh = make_index_mesh(devices=[jax.devices()[0]])
+    idx.n_shards = 1
+    idx.block_n = 512
+    idx.vocab = {str(i): i for i in range(V)}
+    idx.valid_n = N
+    n_pad = _round_up(N, idx.block_n)
+    tid_p = np.pad(term_ids, ((0, n_pad - N), (0, 0)),
+                   constant_values=PAD_TERM)
+    imp_p = np.pad(impacts, ((0, n_pad - N), (0, 0)))
+    idx._build_postings(tid_p, imp_p)
+    n_heavy = (0 if idx.heavy_row_of is None
+               else int((idx.heavy_row_of >= 0).sum()))
+
+    q_terms, q_weights, w_slots, q_heavy = idx._order_slots_by_df(
+        q_terms, q_weights)
+    m_total = sum(w_slots) * idx.POSTINGS_WINDOW
+    fell_back = m_total > idx.POSTINGS_CANDIDATE_BUDGET
+    use_heavy = idx.heavy_cols is not None and bool((q_heavy >= 0).any())
     qj, wj = jnp.asarray(q_terms), jnp.asarray(q_weights)
+    dj, pj, oj = idx.post_docs[0], idx.post_imps[0], idx.post_offsets[0]
     ws = tuple(w_slots)
+    W = idx.POSTINGS_WINDOW
 
-    def make_loop(n):
-        @jax.jit
-        def loop(dj, pj, oj, qj, wj):
-            def body(i, acc):
-                vals, _ = bm25_postings_topk(dj, pj, oj, qj,
-                                             wj + acc * 1e-9, K,
-                                             w_slots=ws, window=WINDOW)
-                return acc + vals[0, 0]
-            return jax.lax.fori_loop(0, n, body, 0.0)
-        return loop
+    if fell_back:
+        return None, m_total, n_heavy  # caller reports the scan engine
+    if use_heavy:
+        hj, qhj = idx.heavy_cols[0], jnp.asarray(q_heavy)
 
-    dt = _device_time_delta(make_loop, dj, pj, oj, qj, wj,
-                            iters=iters, scale=2)
-    return Q / dt, m_total, fell_back
+        def make_loop(n):
+            @jax.jit
+            def loop(dj, pj, oj, hj, qj, wj, qhj):
+                def body(i, acc):
+                    vals, _ = bm25_hybrid_topk(dj, pj, oj, hj, qj,
+                                               wj + acc * 1e-9, qhj, K,
+                                               w_slots=ws, window=W)
+                    return acc + vals[0, 0]
+                return jax.lax.fori_loop(0, n, body, 0.0)
+            return loop
+
+        dt = _device_time_delta(make_loop, dj, pj, oj, hj, qj, wj, qhj,
+                                iters=max(iters, 50))
+    else:
+        def make_loop(n):
+            @jax.jit
+            def loop(dj, pj, oj, qj, wj):
+                def body(i, acc):
+                    vals, _ = bm25_postings_topk(dj, pj, oj, qj,
+                                                 wj + acc * 1e-9, K,
+                                                 w_slots=ws, window=W)
+                    return acc + vals[0, 0]
+                return jax.lax.fori_loop(0, n, body, 0.0)
+            return loop
+
+        dt = _device_time_delta(make_loop, dj, pj, oj, qj, wj,
+                                iters=max(iters, 50))
+    return Q / dt, m_total, n_heavy
 
 
 def _emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
@@ -569,12 +592,14 @@ def main() -> None:
 
     rz = safe("bm25_zipf", bench_bm25_zipf)
     if rz and r:
-        zqps, m_total, fell_back = rz
-        # vs_baseline: ratio to the uniform-df postings QPS — how much a
-        # realistic head-heavy term law costs the default engine
-        _emit("bm25_qps_zipf_s1.1_n100k", zqps, "qps/chip", zqps / r[2])
-        _emit("bm25_zipf_candidates_per_batch", float(m_total), "entries",
-              float(not fell_back))
+        zqps, m_total, n_heavy = rz
+        if zqps is not None:
+            # vs_baseline: ratio to the uniform-df postings QPS — how much
+            # a realistic head-heavy term law costs the default engine
+            _emit("bm25_qps_zipf_s1.1_n100k", zqps, "qps/chip",
+                  zqps / r[2])
+        _emit("bm25_zipf_light_candidates_per_query", float(m_total),
+              "entries", float(n_heavy))
 
     # ---- dense retrieval (headline LAST)
     rng = np.random.default_rng(0)

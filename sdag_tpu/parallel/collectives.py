@@ -192,6 +192,42 @@ def sharded_bm25_postings_topk(post_docs: jax.Array, post_imps: jax.Array,
     return fn(q_terms, q_weights, post_docs, post_imps, offsets)
 
 
+def sharded_bm25_hybrid_topk(post_docs: jax.Array, post_imps: jax.Array,
+                             offsets: jax.Array, heavy_cols: jax.Array,
+                             q_terms: jax.Array, q_weights: jax.Array,
+                             q_heavy_idx: jax.Array, k: int, w_slots,
+                             mesh: Mesh, rows_per_shard: int,
+                             window: int = 512, axis: str = "index"
+                             ) -> Tuple[jax.Array, jax.Array]:
+    """Sharded heavy/light hybrid BM25 (ops/bm25.py bm25_hybrid_topk):
+    each shard scores its doc-row block — heavy terms against its
+    [rows_per_shard, H_pad] dense sidecar slice, tail terms against its
+    local CSR — then candidates are all-gathered + merged like the dense
+    path.  heavy_cols: [n_shards, rows_per_shard, H_pad] row-sharded."""
+    from sdag_tpu.ops.bm25 import bm25_hybrid_topk
+
+    def local(qt, qw, qh, docs, imps, offs, heavy):
+        vals, idx = bm25_hybrid_topk(docs[0], imps[0], offs[0], heavy[0],
+                                     qt, qw, qh, k, w_slots=w_slots,
+                                     window=window)
+        shard_id = jax.lax.axis_index(axis)
+        row0 = shard_id * rows_per_shard
+        gidx = jnp.where(idx >= 0, idx + row0, jnp.iinfo(jnp.int32).max)
+        gvals = jnp.where(idx >= 0, vals, -jnp.inf)
+        vals_all = jax.lax.all_gather(gvals, axis, axis=1, tiled=True)
+        gidx_all = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
+        mv, mi = merge_topk(vals_all, gidx_all, k)
+        return mv, jnp.where(jnp.isneginf(mv), -1, mi)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), P(), P(axis), P(axis), P(axis),
+                             P(axis)),
+                   out_specs=(P(), P()),
+                   check_vma=False)
+    return fn(q_terms, q_weights, q_heavy_idx, post_docs, post_imps,
+              offsets, heavy_cols)
+
+
 @partial(jax.jit, static_argnames=("axis_name",))
 def psum_scalar(x, axis_name: str = "data"):
     return jax.lax.psum(x, axis_name)

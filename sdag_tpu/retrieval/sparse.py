@@ -19,8 +19,8 @@ import numpy as np
 
 from sdag_tpu.core.mesh import make_index_mesh, shard_rows
 from sdag_tpu.datamodels import RetrievalBatch
-from sdag_tpu.ops.bm25 import (PAD_TERM, bm25_postings_topk,
-                               bm25_topk_dispatch)
+from sdag_tpu.ops.bm25 import (PAD_TERM, bm25_hybrid_topk,
+                               bm25_postings_topk, bm25_topk_dispatch)
 from sdag_tpu.retrieval.analyzer import analyze_texts
 from sdag_tpu.retrieval.retriever import Retriever
 
@@ -181,6 +181,18 @@ class BM25Index:
     # the query's terms)) is costlier than the flat scan kernel's
     # O(N*Lp/Q) share — fall back to the scan engine with a loud note.
     POSTINGS_CANDIDATE_BUDGET = 1 << 20
+    # Heavy-term dense sidecar: terms with global df >= max(HEAVY_DF_MIN,
+    # N * HEAVY_DF_FRAC) get a dense f32 impact column in heavy_cols
+    # [N_shard, H_pad] (doc-major so candidate lookups are contiguous-row
+    # gathers) and are scored on the MXU instead of a postings walk
+    # (ops/bm25.py bm25_hybrid_topk) — on Zipfian corpora the few
+    # ubiquitous terms otherwise dominate the candidate sort (measured
+    # 58 QPS at 860k candidates/query vs 212k at 4k).  The sidecar is
+    # capped at HEAVY_SIDECAR_BUDGET_MB per shard (highest-df terms
+    # first); terms left out stay on the (exact) postings walk.
+    HEAVY_DF_MIN = 4 * POSTINGS_WINDOW
+    HEAVY_DF_FRAC = 1 / 64
+    HEAVY_SIDECAR_BUDGET_MB = 256
 
     def _build_postings(self, term_ids: np.ndarray, impacts: np.ndarray
                         ) -> None:
@@ -192,6 +204,8 @@ class BM25Index:
         shards — the per-slot gather-window bound at query time."""
         self.post_docs = self.post_imps = self.post_offsets = None
         self.term_df_bound = np.ones(max(len(self.vocab), 1), np.int64)
+        self.heavy_cols = None
+        self.heavy_row_of = None
         self.rows_per_shard = term_ids.shape[0] // self.n_shards
         if self.engine != "postings":
             return
@@ -199,6 +213,7 @@ class BM25Index:
         sr = self.rows_per_shard
         docs_l, imps_l, offs_l = [], [], []
         df_bound = np.zeros(n_vocab, np.int64)
+        df_global = np.zeros(n_vocab, np.int64)
         for s in range(self.n_shards):
             d, i, o, _m = _csr_from_packed(term_ids[s * sr:(s + 1) * sr],
                                            impacts[s * sr:(s + 1) * sr],
@@ -206,7 +221,9 @@ class BM25Index:
             docs_l.append(d)
             imps_l.append(i)
             offs_l.append(o)
-            np.maximum(df_bound, np.diff(o.astype(np.int64)), out=df_bound)
+            dfs = np.diff(o.astype(np.int64))
+            np.maximum(df_bound, dfs, out=df_bound)
+            df_global += dfs
         p_pad = _round_up(max(max(len(d) for d in docs_l), 1), 128)
         docs = np.full((self.n_shards, p_pad), np.iinfo(np.int32).max,
                        np.int32)
@@ -220,22 +237,68 @@ class BM25Index:
                                        self.mesh, "index")
         self.term_df_bound = df_bound
 
+        # heavy-term dense sidecar (see class-attr comment): global-df
+        # selection so every shard agrees on the row layout
+        thresh = max(self.HEAVY_DF_MIN,
+                     int(sr * self.n_shards * self.HEAVY_DF_FRAC))
+        h_cap = int(self.HEAVY_SIDECAR_BUDGET_MB * (1 << 20)
+                    // (4 * max(sr, 1)))
+        heavy = np.flatnonzero(df_global >= thresh)
+        if heavy.size and h_cap > 0:
+            if heavy.size > h_cap:
+                heavy = heavy[np.argsort(-df_global[heavy],
+                                         kind="stable")[:h_cap]]
+                print(f"[bm25] Note: heavy-term sidecar capped at "
+                      f"{h_cap} of {int((df_global >= thresh).sum())} "
+                      f"terms over df>={thresh} "
+                      f"(HEAVY_SIDECAR_BUDGET_MB="
+                      f"{self.HEAVY_SIDECAR_BUDGET_MB}); the rest stay "
+                      "on the postings walk.", flush=True)
+            heavy = np.sort(heavy)
+            # minor dim lane-padded to 128 for the MXU matmul + row gathers
+            h_pad = _round_up(heavy.size, 128)
+            dense = np.zeros((self.n_shards, sr, h_pad), np.float32)
+            row_of = np.full(n_vocab, -1, np.int32)
+            row_of[heavy] = np.arange(heavy.size, dtype=np.int32)
+            for s in range(self.n_shards):
+                o = offs_l[s]
+                for h, t in enumerate(heavy):
+                    lo, hi = o[t], o[t + 1]
+                    dense[s, docs_l[s][lo:hi], h] = imps_l[s][lo:hi]
+            self.heavy_cols = shard_rows(jnp.asarray(dense), self.mesh,
+                                         "index")
+            self.heavy_row_of = row_of
+
     def _order_slots_by_df(self, q_terms: np.ndarray, q_weights: np.ndarray
                            ) -> Tuple[np.ndarray, np.ndarray,
-                                      Tuple[int, ...]]:
+                                      Tuple[int, ...], np.ndarray]:
         """Sort each query's term slots by df descending (PAD last) and
         size per-slot gather windows from the batch's ACTUAL dfs: slot s
         needs ceil(max over batch of s-th-largest df / window) windows,
         pow2-bucketed to bound recompiles.  Scoring is additive over
         slots, so the reorder never changes results; it makes the
         postings cost O(sum df of the query's own terms) instead of
-        O(T * global max df) (ADVICE r2 medium)."""
+        O(T * global max df) (ADVICE r2 medium).
+
+        Heavy-sidecar terms (heavy_row_of >= 0) are excluded from window
+        sizing — they're scored densely — and returned in q_heavy_idx
+        [Q, T] (sidecar row or -1).  Also returns that array.
+        """
         v = len(self.term_df_bound)
+        safe = np.clip(q_terms, 0, v - 1)
         df = np.where(q_terms == PAD_TERM, np.int64(-1),
-                      self.term_df_bound[np.clip(q_terms, 0, v - 1)])
+                      self.term_df_bound[safe])
+        if self.heavy_row_of is not None:
+            hrow = np.where(q_terms == PAD_TERM, np.int32(-1),
+                            self.heavy_row_of[safe])
+            # heavy slots need no gather windows; sort them with PADs
+            df = np.where(hrow >= 0, np.int64(-1), df)
+        else:
+            hrow = np.full_like(q_terms, -1)
         order = np.argsort(-df, axis=1, kind="stable")
         q_terms = np.take_along_axis(q_terms, order, axis=1)
         q_weights = np.take_along_axis(q_weights, order, axis=1)
+        hrow = np.take_along_axis(hrow, order, axis=1)
         dfmax = np.take_along_axis(df, order, axis=1).max(axis=0)
         w_slots = []
         for d in dfmax:
@@ -247,7 +310,7 @@ class BM25Index:
             while ws < need:
                 ws *= 2
             w_slots.append(ws)
-        return q_terms, q_weights, tuple(w_slots)
+        return q_terms, q_weights, tuple(w_slots), hrow
 
     # ------------------------------------------------------------- search
     def encode_queries(self, queries: Sequence[str]
@@ -284,9 +347,12 @@ class BM25Index:
                     np.concatenate([p[1] for p in parts]))
         q_terms, q_weights = self.encode_queries(queries)
         use_postings = self.engine == "postings"
+        use_heavy = False
         if use_postings:
-            q_terms, q_weights, w_slots = self._order_slots_by_df(
+            q_terms, q_weights, w_slots, q_heavy = self._order_slots_by_df(
                 q_terms, q_weights)
+            use_heavy = self.heavy_cols is not None and bool(
+                (q_heavy >= 0).any())
             m_total = sum(w_slots) * self.POSTINGS_WINDOW
             if m_total > self.POSTINGS_CANDIDATE_BUDGET:
                 print(f"[bm25] Note: batch query terms sum to {m_total} "
@@ -297,13 +363,29 @@ class BM25Index:
                       flush=True)
                 use_postings = False
         if use_postings and self.n_shards > 1:
-            from sdag_tpu.parallel.collectives import \
-                sharded_bm25_postings_topk
-            vals, idx = sharded_bm25_postings_topk(
-                self.post_docs, self.post_imps, self.post_offsets,
-                jnp.asarray(q_terms), jnp.asarray(q_weights), top_k,
-                w_slots=w_slots, window=self.POSTINGS_WINDOW,
-                mesh=self.mesh, rows_per_shard=self.rows_per_shard)
+            if use_heavy:
+                from sdag_tpu.parallel.collectives import \
+                    sharded_bm25_hybrid_topk
+                vals, idx = sharded_bm25_hybrid_topk(
+                    self.post_docs, self.post_imps, self.post_offsets,
+                    self.heavy_cols, jnp.asarray(q_terms),
+                    jnp.asarray(q_weights), jnp.asarray(q_heavy), top_k,
+                    w_slots=w_slots, window=self.POSTINGS_WINDOW,
+                    mesh=self.mesh, rows_per_shard=self.rows_per_shard)
+            else:
+                from sdag_tpu.parallel.collectives import \
+                    sharded_bm25_postings_topk
+                vals, idx = sharded_bm25_postings_topk(
+                    self.post_docs, self.post_imps, self.post_offsets,
+                    jnp.asarray(q_terms), jnp.asarray(q_weights), top_k,
+                    w_slots=w_slots, window=self.POSTINGS_WINDOW,
+                    mesh=self.mesh, rows_per_shard=self.rows_per_shard)
+        elif use_postings and use_heavy:
+            vals, idx = bm25_hybrid_topk(
+                self.post_docs[0], self.post_imps[0], self.post_offsets[0],
+                self.heavy_cols[0], jnp.asarray(q_terms),
+                jnp.asarray(q_weights), jnp.asarray(q_heavy), top_k,
+                w_slots=w_slots, window=self.POSTINGS_WINDOW)
         elif use_postings:
             vals, idx = bm25_postings_topk(
                 self.post_docs[0], self.post_imps[0], self.post_offsets[0],

@@ -142,7 +142,7 @@ def test_postings_windows_sized_by_query_df(monkeypatch):
     ids = [f"d{i}" for i in range(len(docs))]
     index = BM25Index.from_texts(docs, ids, engine="postings")
     qt, qw = index.encode_queries(["rare7 tail3"])
-    _, _, w_slots = index._order_slots_by_df(qt, qw)
+    _, _, w_slots, _ = index._order_slots_by_df(qt, qw)
     # rare7 df=4, tail3 df=1 -> one window each; no slot sized for df=200
     assert sum(w_slots) * index.POSTINGS_WINDOW < 200
     # and a query WITH the ubiquitous term still scores exactly
@@ -251,6 +251,105 @@ def test_sharded_bm25_matches_single_device():
     i1, s1 = idx1.search(queries, top_k=10)
     np.testing.assert_array_equal(i8, i1)
     np.testing.assert_allclose(s8, s1, rtol=1e-6)
+
+
+def _zipfish_corpus(n_docs=300, seed=11):
+    """Corpus with two ubiquitous terms (heavy under a lowered threshold),
+    mid-df terms, and a rare tail — exercises every hybrid split."""
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(n_docs):
+        toks = ["ubiq"]
+        if i % 2 == 0:
+            toks.append("halfish")
+        toks.append(f"mid{i % 12}")
+        toks.append(f"rare{i % 60}")
+        toks.append(f"tail{i}")
+        rng.shuffle(toks)
+        docs.append(" ".join(toks))
+    ids = [f"d{i}" for i in range(n_docs)]
+    return docs, ids
+
+
+def test_hybrid_heavy_terms_match_scan_engine(monkeypatch):
+    """Heavy-term dense sidecar (MXU path) must stay in lockstep with the
+    scan engine across heavy-only, mixed, light-only, no-match, and
+    fewer-than-k queries."""
+    monkeypatch.setattr(BM25Index, "HEAVY_DF_MIN", 64)
+    monkeypatch.setattr(BM25Index, "POSTINGS_WINDOW", 8)
+    docs, ids = _zipfish_corpus()
+    index = BM25Index.from_texts(docs, ids, engine="postings")
+    scan = BM25Index.from_texts(docs, ids, engine="scan")
+    # ubiq df=300 and halfish df=150 cross the lowered threshold
+    assert index.heavy_cols is not None
+    assert int((index.heavy_row_of >= 0).sum()) == 2
+    queries = ["ubiq halfish",          # heavy-only
+               "ubiq rare7",            # mixed heavy + light
+               "rare7 tail3",           # light-only
+               "zzzunknown",            # no match at all
+               "halfish tail4 mid3",    # heavy + two light
+               "tail5"]                 # single rare: fewer than k matches
+    q_heavy = index._order_slots_by_df(*index.encode_queries(queries))[3]
+    assert bool((q_heavy >= 0).any())
+    i1, s1 = index.search(queries, top_k=5)
+    i2, s2 = scan.search(queries, top_k=5)
+    np.testing.assert_array_equal(i1, i2)
+    finite = np.isfinite(s2)
+    np.testing.assert_array_equal(np.isfinite(s1), finite)
+    np.testing.assert_allclose(s1[finite], s2[finite], rtol=1e-5)
+
+
+def test_hybrid_sidecar_budget_cap(monkeypatch, capsys):
+    """When the sidecar budget can't hold every over-threshold term, the
+    highest-df terms are kept and the rest stay on the postings walk —
+    ranking still matches the scan engine."""
+    monkeypatch.setattr(BM25Index, "HEAVY_DF_MIN", 64)
+    monkeypatch.setattr(BM25Index, "POSTINGS_WINDOW", 8)
+    # budget of one f32 row at the padded shard width (512 rows/shard
+    # for this corpus under both 1- and 8-device meshes) -> cap = 1
+    monkeypatch.setattr(BM25Index, "HEAVY_SIDECAR_BUDGET_MB",
+                        4 * 512 / (1 << 20))
+    docs, ids = _zipfish_corpus()
+    index = BM25Index.from_texts(docs, ids, engine="postings")
+    assert "sidecar capped" in capsys.readouterr().out
+    assert int((index.heavy_row_of >= 0).sum()) == 1
+    # the kept row is the highest-df term (ubiq, df=300)
+    kept = int(np.flatnonzero(index.heavy_row_of >= 0)[0])
+    assert kept == index.vocab["ubiq"]
+    scan = BM25Index.from_texts(docs, ids, engine="scan")
+    i1, s1 = index.search(["ubiq halfish rare7"], top_k=5)
+    i2, s2 = scan.search(["ubiq halfish rare7"], top_k=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+def test_hybrid_sharded_matches_single_device(monkeypatch):
+    """8-way sharded hybrid (per-shard dense sidecar slice + CSR) must
+    match the single-device hybrid and the scan engine."""
+    import jax
+    from sdag_tpu.core.mesh import make_index_mesh
+
+    monkeypatch.setattr(BM25Index, "HEAVY_DF_MIN", 64)
+    monkeypatch.setattr(BM25Index, "POSTINGS_WINDOW", 8)
+    docs, ids = _zipfish_corpus(n_docs=500, seed=13)
+    queries = ["ubiq rare7", "halfish tail9 mid2", "rare3 rare4", "ubiq"]
+
+    mesh8 = make_index_mesh()
+    mesh1 = make_index_mesh(devices=[jax.devices()[0]])
+    idx8 = BM25Index.from_texts(docs, ids, mesh=mesh8, engine="postings")
+    idx1 = BM25Index.from_texts(docs, ids, mesh=mesh1, engine="postings")
+    assert idx8.heavy_cols is not None and idx1.heavy_cols is not None
+    scan = BM25Index.from_texts(docs, ids, mesh=mesh1, engine="scan")
+    i8, s8 = idx8.search(queries, top_k=10)
+    i1, s1 = idx1.search(queries, top_k=10)
+    isc, ssc = scan.search(queries, top_k=10)
+    np.testing.assert_array_equal(i8, i1)
+    np.testing.assert_array_equal(i8, isc)
+    finite = np.isfinite(ssc)
+    np.testing.assert_allclose(np.where(finite, s8, 0.0),
+                               np.where(finite, s1, 0.0), rtol=1e-6)
+    np.testing.assert_allclose(np.where(finite, s8, 0.0),
+                               np.where(finite, ssc, 0.0), rtol=1e-5)
 
 
 def test_native_build_counts_matches_python():
