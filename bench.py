@@ -426,7 +426,7 @@ def bench_bm25_zipf(iters: int = 20):
     q_terms, q_weights, w_slots, q_heavy = idx._order_slots_by_df(
         q_terms, q_weights)
     m_total = sum(w_slots) * idx.POSTINGS_WINDOW
-    fell_back = m_total > idx.POSTINGS_CANDIDATE_BUDGET
+    fell_back = m_total > idx._candidate_budget()
     use_heavy = idx.heavy_cols is not None and bool((q_heavy >= 0).any())
     qj, wj = jnp.asarray(q_terms), jnp.asarray(q_weights)
     dj, pj, oj = idx.post_docs[0], idx.post_imps[0], idx.post_offsets[0]
@@ -436,21 +436,22 @@ def bench_bm25_zipf(iters: int = 20):
     if fell_back:
         return None, m_total, n_heavy  # caller reports the scan engine
     if use_heavy:
-        hj, qhj = idx.heavy_cols[0], jnp.asarray(q_heavy)
+        hcj, hrj = idx.heavy_cols[0], idx.heavy_rows[0]
+        qhj = jnp.asarray(q_heavy)
 
         def make_loop(n):
             @jax.jit
-            def loop(dj, pj, oj, hj, qj, wj, qhj):
+            def loop(dj, pj, oj, hcj, hrj, qj, wj, qhj):
                 def body(i, acc):
-                    vals, _ = bm25_hybrid_topk(dj, pj, oj, hj, qj,
+                    vals, _ = bm25_hybrid_topk(dj, pj, oj, hcj, hrj, qj,
                                                wj + acc * 1e-9, qhj, K,
                                                w_slots=ws, window=W)
                     return acc + vals[0, 0]
                 return jax.lax.fori_loop(0, n, body, 0.0)
             return loop
 
-        dt = _device_time_delta(make_loop, dj, pj, oj, hj, qj, wj, qhj,
-                                iters=max(iters, 50))
+        dt = _device_time_delta(make_loop, dj, pj, oj, hcj, hrj, qj, wj,
+                                qhj, iters=max(iters, 50))
     else:
         def make_loop(n):
             @jax.jit

@@ -375,10 +375,9 @@ def bm25_postings_topk(post_docs: jax.Array, post_imps: jax.Array,
 
 def bm25_hybrid_topk(post_docs: jax.Array, post_imps: jax.Array,
                      offsets: jax.Array, heavy_cols: jax.Array,
-                     q_terms: jax.Array, q_weights: jax.Array,
-                     q_heavy_idx: jax.Array, k: int,
-                     w_slots: Tuple[int, ...], window: int = 512,
-                     use_pallas: bool | None = None
+                     heavy_rows: jax.Array, q_terms: jax.Array,
+                     q_weights: jax.Array, q_heavy_idx: jax.Array, k: int,
+                     w_slots: Tuple[int, ...], window: int = 512
                      ) -> Tuple[jax.Array, jax.Array]:
     """Exact BM25 top-k with heavy terms on the MXU, tail terms on CSR.
 
@@ -401,26 +400,26 @@ def bm25_hybrid_topk(post_docs: jax.Array, post_imps: jax.Array,
     scores.  Ties resolve (score desc, id asc) like the scan kernel
     because light contributions are strictly positive.
 
+    heavy_cols [N_pad, H_pad] (doc-major, feeds the candidate row
+    gathers) and heavy_rows [H_pad, N_pad] (term-major, feeds the
+    matmul) hold the SAME impacts twice: one buffer serving both roles
+    made XLA's layout assignment quadruple the batch cost (4.4 vs
+    1.0 ms measured — the gather forces a layout the matmul then pays
+    to undo every batch), so the build spends 2x sidecar HBM instead.
+
     q_heavy_idx [Q, T]: row of the slot's term in heavy_cols' minor axis,
     or -1 when the term is light/PAD.  w_slots must cover the LIGHT dfs
     only.  Returns (scores [Q,k], doc ids [Q,k]); empty = (-inf, -1).
     """
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
     return _bm25_hybrid_topk(post_docs, post_imps, offsets, heavy_cols,
-                             q_terms, q_weights, q_heavy_idx, k=k,
-                             w_slots=tuple(w_slots), window=window,
-                             use_pallas=use_pallas)
+                             heavy_rows, q_terms, q_weights, q_heavy_idx,
+                             k=k, w_slots=tuple(w_slots), window=window)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w_slots", "window",
-                                             "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("k", "w_slots", "window"))
 def _bm25_hybrid_topk(post_docs, post_imps, offsets, heavy_cols,
-                      q_terms, q_weights, q_heavy_idx, k: int,
-                      w_slots: Tuple[int, ...], window: int,
-                      use_pallas: bool):
-    from sdag_tpu.ops.topk import exact_topk_xla, fused_topk_matmul
-
+                      heavy_rows, q_terms, q_weights, q_heavy_idx, k: int,
+                      w_slots: Tuple[int, ...], window: int):
     qn, t = q_terms.shape
     n_pad, h_pad = heavy_cols.shape
     if len(w_slots) != t:
@@ -433,17 +432,13 @@ def _bm25_hybrid_topk(post_docs, post_imps, offsets, heavy_cols,
                         dtype=jnp.float32)            # [Q, T, H]; -1 -> 0s
     w_dense = jnp.einsum("qt,qth->qh", q_weights, oh,
                          precision=jax.lax.Precision.HIGHEST)
-    # XLA matmul + top_k wins at bench geometry (0.146 vs 0.322 ms at
-    # Q=32, N=100k, H=512); the fused kernel's streaming merge wins once
-    # the [Q, N] score matrix stops fitting comfortably
-    if use_pallas and n_pad > (1 << 18):
-        dvals, didx = fused_topk_matmul(w_dense, heavy_cols, k)
-    else:
-        dvals, didx = exact_topk_xla(w_dense, heavy_cols, k)
+    scores = jax.lax.dot(w_dense, heavy_rows,
+                         precision=jax.lax.Precision.HIGHEST)  # [Q, N]
     # impacts are strictly positive, so dense == 0 <=> no heavy match
     # (padded doc rows are zero and stay non-matches)
-    didx = jnp.where(dvals > 0.0, didx, -1)
-    dvals = jnp.where(dvals > 0.0, dvals, NEG_INF)
+    dvals, didx = jax.lax.top_k(jnp.where(scores > 0.0, scores, NEG_INF),
+                                k)                    # id-asc tie-break
+    didx = jnp.where(jnp.isneginf(dvals), -1, didx.astype(jnp.int32))
 
     runs = _postings_runs(post_docs, post_imps, offsets, q_terms, q_weights,
                           w_slots, window, skip_mask=q_heavy_idx >= 0,

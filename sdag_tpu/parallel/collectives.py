@@ -194,22 +194,25 @@ def sharded_bm25_postings_topk(post_docs: jax.Array, post_imps: jax.Array,
 
 def sharded_bm25_hybrid_topk(post_docs: jax.Array, post_imps: jax.Array,
                              offsets: jax.Array, heavy_cols: jax.Array,
-                             q_terms: jax.Array, q_weights: jax.Array,
-                             q_heavy_idx: jax.Array, k: int, w_slots,
-                             mesh: Mesh, rows_per_shard: int,
-                             window: int = 512, axis: str = "index"
+                             heavy_rows: jax.Array, q_terms: jax.Array,
+                             q_weights: jax.Array, q_heavy_idx: jax.Array,
+                             k: int, w_slots, mesh: Mesh,
+                             rows_per_shard: int, window: int = 512,
+                             axis: str = "index"
                              ) -> Tuple[jax.Array, jax.Array]:
     """Sharded heavy/light hybrid BM25 (ops/bm25.py bm25_hybrid_topk):
-    each shard scores its doc-row block — heavy terms against its
-    [rows_per_shard, H_pad] dense sidecar slice, tail terms against its
-    local CSR — then candidates are all-gathered + merged like the dense
-    path.  heavy_cols: [n_shards, rows_per_shard, H_pad] row-sharded."""
+    each shard scores its doc-row block — heavy terms against its dense
+    sidecar slice, tail terms against its local CSR — then candidates
+    are all-gathered + merged like the dense path.
+    heavy_cols: [n_shards, rows_per_shard, H_pad] row-sharded;
+    heavy_rows: [n_shards, H_pad, rows_per_shard] (same impacts,
+    term-major for the matmul leg)."""
     from sdag_tpu.ops.bm25 import bm25_hybrid_topk
 
-    def local(qt, qw, qh, docs, imps, offs, heavy):
-        vals, idx = bm25_hybrid_topk(docs[0], imps[0], offs[0], heavy[0],
-                                     qt, qw, qh, k, w_slots=w_slots,
-                                     window=window)
+    def local(qt, qw, qh, docs, imps, offs, hcols, hrows):
+        vals, idx = bm25_hybrid_topk(docs[0], imps[0], offs[0], hcols[0],
+                                     hrows[0], qt, qw, qh, k,
+                                     w_slots=w_slots, window=window)
         shard_id = jax.lax.axis_index(axis)
         row0 = shard_id * rows_per_shard
         gidx = jnp.where(idx >= 0, idx + row0, jnp.iinfo(jnp.int32).max)
@@ -221,11 +224,11 @@ def sharded_bm25_hybrid_topk(post_docs: jax.Array, post_imps: jax.Array,
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(), P(), P(), P(axis), P(axis), P(axis),
-                             P(axis)),
+                             P(axis), P(axis)),
                    out_specs=(P(), P()),
                    check_vma=False)
     return fn(q_terms, q_weights, q_heavy_idx, post_docs, post_imps,
-              offsets, heavy_cols)
+              offsets, heavy_cols, heavy_rows)
 
 
 @partial(jax.jit, static_argnames=("axis_name",))

@@ -180,7 +180,18 @@ class BM25Index:
     # exceed this many candidate entries, the postings walk (O(sum df of
     # the query's terms)) is costlier than the flat scan kernel's
     # O(N*Lp/Q) share — fall back to the scan engine with a loud note.
+    # The effective budget is min(this, N/2): measured on v5e (r03,
+    # benchmarks/bm25_crossover.py) the walk costs ~2.0 us per 1k
+    # candidates (10.8/53.8/121/631 us/query at m=8k/33k/66k/262k) vs
+    # the scan's ~1.3 us per 1k docs at Lp=128, crossing at m ~= 0.65*N;
+    # the absolute cap guards the super-linear giant-sort regime (a
+    # monolithic 860k-entry sort measured 17 ms/query, ~10x the linear
+    # extrapolation).
     POSTINGS_CANDIDATE_BUDGET = 1 << 20
+
+    def _candidate_budget(self) -> int:
+        return min(self.POSTINGS_CANDIDATE_BUDGET,
+                   max(self.valid_n, 2) >> 1)
     # Heavy-term dense sidecar: terms with global df >= max(HEAVY_DF_MIN,
     # N * HEAVY_DF_FRAC) get a dense f32 impact column in heavy_cols
     # [N_shard, H_pad] (doc-major so candidate lookups are contiguous-row
@@ -192,7 +203,7 @@ class BM25Index:
     # first); terms left out stay on the (exact) postings walk.
     HEAVY_DF_MIN = 4 * POSTINGS_WINDOW
     HEAVY_DF_FRAC = 1 / 64
-    HEAVY_SIDECAR_BUDGET_MB = 256
+    HEAVY_SIDECAR_BUDGET_MB = 512
 
     def _build_postings(self, term_ids: np.ndarray, impacts: np.ndarray
                         ) -> None:
@@ -205,6 +216,7 @@ class BM25Index:
         self.post_docs = self.post_imps = self.post_offsets = None
         self.term_df_bound = np.ones(max(len(self.vocab), 1), np.int64)
         self.heavy_cols = None
+        self.heavy_rows = None
         self.heavy_row_of = None
         self.rows_per_shard = term_ids.shape[0] // self.n_shards
         if self.engine != "postings":
@@ -241,8 +253,12 @@ class BM25Index:
         # selection so every shard agrees on the row layout
         thresh = max(self.HEAVY_DF_MIN,
                      int(sr * self.n_shards * self.HEAVY_DF_FRAC))
+        # 8 bytes/doc/term: the impacts are stored TWICE (doc-major for
+        # candidate row-gathers + term-major for the matmul leg — one
+        # dual-use buffer made XLA's layout assignment 4.4x the batch
+        # cost, see ops/bm25.py bm25_hybrid_topk)
         h_cap = int(self.HEAVY_SIDECAR_BUDGET_MB * (1 << 20)
-                    // (4 * max(sr, 1)))
+                    // (8 * max(sr, 1)))
         heavy = np.flatnonzero(df_global >= thresh)
         if heavy.size and h_cap > 0:
             if heavy.size > h_cap:
@@ -267,6 +283,9 @@ class BM25Index:
                     dense[s, docs_l[s][lo:hi], h] = imps_l[s][lo:hi]
             self.heavy_cols = shard_rows(jnp.asarray(dense), self.mesh,
                                          "index")
+            self.heavy_rows = shard_rows(
+                jnp.asarray(np.ascontiguousarray(dense.transpose(0, 2, 1))),
+                self.mesh, "index")
             self.heavy_row_of = row_of
 
     def _order_slots_by_df(self, q_terms: np.ndarray, q_weights: np.ndarray
@@ -354,10 +373,10 @@ class BM25Index:
             use_heavy = self.heavy_cols is not None and bool(
                 (q_heavy >= 0).any())
             m_total = sum(w_slots) * self.POSTINGS_WINDOW
-            if m_total > self.POSTINGS_CANDIDATE_BUDGET:
+            if m_total > self._candidate_budget():
                 print(f"[bm25] Note: batch query terms sum to {m_total} "
                       f"postings candidates (> budget "
-                      f"{self.POSTINGS_CANDIDATE_BUDGET}); the postings "
+                      f"{self._candidate_budget()}); the postings "
                       "walk would be costlier than a flat scan — falling "
                       "back to the scan engine for this batch.",
                       flush=True)
@@ -368,8 +387,9 @@ class BM25Index:
                     sharded_bm25_hybrid_topk
                 vals, idx = sharded_bm25_hybrid_topk(
                     self.post_docs, self.post_imps, self.post_offsets,
-                    self.heavy_cols, jnp.asarray(q_terms),
-                    jnp.asarray(q_weights), jnp.asarray(q_heavy), top_k,
+                    self.heavy_cols, self.heavy_rows,
+                    jnp.asarray(q_terms), jnp.asarray(q_weights),
+                    jnp.asarray(q_heavy), top_k,
                     w_slots=w_slots, window=self.POSTINGS_WINDOW,
                     mesh=self.mesh, rows_per_shard=self.rows_per_shard)
             else:
@@ -383,8 +403,9 @@ class BM25Index:
         elif use_postings and use_heavy:
             vals, idx = bm25_hybrid_topk(
                 self.post_docs[0], self.post_imps[0], self.post_offsets[0],
-                self.heavy_cols[0], jnp.asarray(q_terms),
-                jnp.asarray(q_weights), jnp.asarray(q_heavy), top_k,
+                self.heavy_cols[0], self.heavy_rows[0],
+                jnp.asarray(q_terms), jnp.asarray(q_weights),
+                jnp.asarray(q_heavy), top_k,
                 w_slots=w_slots, window=self.POSTINGS_WINDOW)
         elif use_postings:
             vals, idx = bm25_postings_topk(

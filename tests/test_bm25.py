@@ -305,10 +305,10 @@ def test_hybrid_sidecar_budget_cap(monkeypatch, capsys):
     ranking still matches the scan engine."""
     monkeypatch.setattr(BM25Index, "HEAVY_DF_MIN", 64)
     monkeypatch.setattr(BM25Index, "POSTINGS_WINDOW", 8)
-    # budget of one f32 row at the padded shard width (512 rows/shard
-    # for this corpus under both 1- and 8-device meshes) -> cap = 1
+    # budget of one dual-layout f32 row at the padded shard width (512
+    # rows/shard for this corpus under 1- and 8-device meshes) -> cap 1
     monkeypatch.setattr(BM25Index, "HEAVY_SIDECAR_BUDGET_MB",
-                        4 * 512 / (1 << 20))
+                        8 * 512 / (1 << 20))
     docs, ids = _zipfish_corpus()
     index = BM25Index.from_texts(docs, ids, engine="postings")
     assert "sidecar capped" in capsys.readouterr().out
