@@ -521,6 +521,30 @@ def main() -> None:
         _emit("sdag_prefill_ms_L16384_docs31", sdag_ms, "ms",
               causal_ms / sdag_ms)
 
+    # ---- dense retrieval setup + HEADLINE (early: the headline metric and
+    # its recall gate must survive a driver-side timeout, so they are
+    # emitted before the long-tail sections; the other dense variants and
+    # the 1M/4M builds run at the end)
+    rng = np.random.default_rng(0)
+    N, D, K, Q = 100_000, 1024, 10, 256
+    c = rng.standard_normal((N, D)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    q = rng.standard_normal((Q, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    cpu_qps = bench_cpu_dense_qps(q, c, K)
+    # one exact host scan feeds both recall checks (it costs ~52 GFLOP)
+    exact = np.argsort(-(q @ c.T), axis=1, kind="stable")[:, :10]
+
+    # production default (bf16 corpus + approx_max_k two-stage)
+    bf16 = safe("dense_bf16",
+                lambda: bench_dense_qps(q, c, K, "bf16", exact=exact))
+    if bf16:
+        _emit("dense_recall_at10_vs_exact_f32", bf16[1], "recall",
+              bf16[1] / 0.99)  # >=1.0 passes the BASELINE.md parity target
+        require_recall("dense_bf16_default", bf16[1])
+        _emit("dense_retrieval_qps_per_chip_n100k_d1024_k10", bf16[0],
+              "qps/chip", bf16[0] / cpu_qps)
+
     # ---- decode
     import bench_decode
     decode_tok_s = {}
@@ -602,17 +626,7 @@ def main() -> None:
         _emit("bm25_zipf_light_candidates_per_query", float(m_total),
               "entries", float(n_heavy))
 
-    # ---- dense retrieval (headline LAST)
-    rng = np.random.default_rng(0)
-    N, D, K, Q = 100_000, 1024, 10, 256
-    c = rng.standard_normal((N, D)).astype(np.float32)
-    c /= np.linalg.norm(c, axis=1, keepdims=True)
-    q = rng.standard_normal((Q, D)).astype(np.float32)
-    q /= np.linalg.norm(q, axis=1, keepdims=True)
-    cpu_qps = bench_cpu_dense_qps(q, c, K)
-    # one exact host scan feeds both recall checks (it costs ~52 GFLOP)
-    exact = np.argsort(-(q @ c.T), axis=1, kind="stable")[:, :10]
-
+    # ---- dense retrieval variants (headline already emitted above)
     f32 = safe("dense_f32", lambda: bench_dense_qps(q, c, K, "f32"))
     if f32:
         _emit("dense_retrieval_qps_f32_n100k_d1024_k10", f32[0], "qps/chip",
@@ -831,16 +845,6 @@ def main() -> None:
               4.0 / max(pack_s, 1e-9))
         _emit("dense_recall_at10_int8_n4M_selfdtype", rec4m, "recall",
               rec4m / 0.99)
-
-    # production default: bf16 corpus + approx_max_k two-stage (HEADLINE)
-    bf16 = safe("dense_bf16",
-                lambda: bench_dense_qps(q, c, K, "bf16", exact=exact))
-    if bf16:
-        _emit("dense_recall_at10_vs_exact_f32", bf16[1], "recall",
-              bf16[1] / 0.99)  # >=1.0 passes the BASELINE.md parity target
-        require_recall("dense_bf16_default", bf16[1])
-        _emit("dense_retrieval_qps_per_chip_n100k_d1024_k10", bf16[0],
-              "qps/chip", bf16[0] / cpu_qps)
 
     if failures:
         print(f"[bench] FAILED sections: {failures}", file=sys.stderr)
