@@ -385,7 +385,7 @@ def bench_bm25_zipf(iters: int = 20):
     from sdag_tpu.core.mesh import make_index_mesh
     from sdag_tpu.ops.bm25 import (PAD_TERM, bm25_hybrid_topk,
                                    bm25_postings_topk)
-    from sdag_tpu.retrieval.sparse import BM25Index, _round_up
+    from sdag_tpu.retrieval.sparse import BM25Index
 
     rng = np.random.default_rng(5)
     N, T, V, Q, QT, K = 100_000, 128, 50_000, 32, 8, 10
@@ -406,20 +406,11 @@ def bench_bm25_zipf(iters: int = 20):
     q_terms = rng.choice(V, size=(Q, QT), p=p).astype(np.int32)
     q_weights = np.ones((Q, QT), np.float32)
 
-    # production index internals on the synthetic packed arrays (the
-    # load() construction path), single shard
-    idx = BM25Index.__new__(BM25Index)
-    idx.engine = "postings"
-    idx.mesh = make_index_mesh(devices=[jax.devices()[0]])
-    idx.n_shards = 1
-    idx.block_n = 512
-    idx.vocab = {str(i): i for i in range(V)}
-    idx.valid_n = N
-    n_pad = _round_up(N, idx.block_n)
-    tid_p = np.pad(term_ids, ((0, n_pad - N), (0, 0)),
-                   constant_values=PAD_TERM)
-    imp_p = np.pad(impacts, ((0, n_pad - N), (0, 0)))
-    idx._build_postings(tid_p, imp_p)
+    # production index around the synthetic packed arrays, single shard
+    # (from_packed is the supported packed-array construction path)
+    idx = BM25Index.from_packed(
+        term_ids, impacts, {str(i): i for i in range(V)}, valid_n=N,
+        mesh=make_index_mesh(devices=[jax.devices()[0]]))
     n_heavy = (0 if idx.heavy_row_of is None
                else int((idx.heavy_row_of >= 0).sum()))
 

@@ -27,8 +27,8 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
                       os.path.abspath(__file__))), ".jax_cache"))
 
-from sdag_tpu.ops.attention import (BLOCK_FULL, BLOCK_PARTIAL, BLOCK_SKIP,
-                                    compute_block_kinds,
+from sdag_tpu.ops.attention import (BLOCK_CAUSAL, BLOCK_FULL, BLOCK_PARTIAL,
+                                    BLOCK_SKIP, compute_block_kinds,
                                     sdag_flash_attention_kvres)
 
 RTT = 0.03
@@ -54,7 +54,7 @@ def tile_accounting(doc_id, nbr, sul, L, bq, bk):
     u, c = np.unique(kinds, return_counts=True)
     d = dict(zip(u.tolist(), c.tolist()))
     names = {BLOCK_SKIP: "skip", BLOCK_FULL: "full",
-             BLOCK_PARTIAL: "partial"}
+             BLOCK_PARTIAL: "partial", BLOCK_CAUSAL: "causal"}
     return {names.get(k, str(k)): v for k, v in d.items()}
 
 

@@ -38,7 +38,14 @@ def maybe_init_distributed() -> bool:
     kw = {"coordinator_address": addr}
     if os.environ.get("JAX_NUM_PROCESSES"):
         kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
-        kw["process_id"] = int(os.environ.get("JAX_PROCESS_ID", "0"))
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if pid is None:
+            # defaulting to 0 would give the coordinator a duplicate
+            # process id and hang the whole cluster at the first barrier
+            raise ValueError(
+                "JAX_NUM_PROCESSES is set but JAX_PROCESS_ID is not; "
+                "every process must export its unique id")
+        kw["process_id"] = int(pid)
     jax.distributed.initialize(**kw)
     return True
 

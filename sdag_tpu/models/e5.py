@@ -229,20 +229,24 @@ class E5Encoder:
         self._dp_n = 1
         if dp_mesh is not None and "data" in dp_mesh.shape \
                 and dp_mesh.shape["data"] > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
             self.dp_mesh = dp_mesh
             self._dp_n = dp_mesh.shape["data"]
-            rep = NamedSharding(dp_mesh, P())
-            row = NamedSharding(dp_mesh, P("data"))
-            # fused QKV weights still apply; the Pallas attention kernel
-            # is kept off here (XLA attention partitions over the batch
-            # axis automatically, a pallas_call would need a shard_map)
-            self._fwd_dp = jax.jit(
+            # shard_map (not sharded jit) so the per-device forward is the
+            # SAME function as the single-device path — including the
+            # fused Pallas attention kernel on TPU.  The forward is purely
+            # row-parallel (no collectives), so each device computes its
+            # batch slice exactly as a single device would: build-side and
+            # query-side embeddings stay numerically identical.
+            self._fwd_dp = jax.jit(shard_map(
                 lambda p, ids, m: encoder_forward(p, cfg, ids, m,
+                                                  fused_attention=fused,
                                                   gelu=gelu),
-                in_shardings=(jax.tree.map(lambda _: rep, self.params),
-                              row, row),
-                out_shardings=row)
+                mesh=dp_mesh,
+                in_specs=(jax.tree.map(lambda _: P(), self.params),
+                          P("data"), P("data")),
+                out_specs=P("data"), check_vma=False))
 
     @property
     def dim(self) -> int:

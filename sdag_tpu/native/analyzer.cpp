@@ -389,10 +389,6 @@ class PorterStemmer {
 // ---------------------------------------------------------------------------
 constexpr int kMaxTokenLen = 255;  // StandardTokenizer maxTokenLength
 
-bool is_alnum_cls(Cls c) {
-  return c == LETTER || c == DIGIT || c == HAN || c == HIRA || c == KATA;
-}
-
 void analyze_doc(const char* begin, const char* end, std::string* out) {
   std::vector<uint32_t> cps;
   cps.reserve(static_cast<size_t>(end - begin));
@@ -447,8 +443,10 @@ void analyze_doc(const char* begin, const char* end, std::string* out) {
 
   for (size_t i = 0; i < n; ++i) {
     const Cls c = cls[i];
-    if (static_cast<int>(cur.size()) >= kMaxTokenLen && is_alnum_cls(c))
-      flush();
+    // force-split at maxTokenLength for ANY continuation — including
+    // Extend/Format (WB4) chars, which would otherwise grow the open
+    // token without bound (Lucene splits at 255 unconditionally)
+    if (static_cast<int>(cur.size()) >= kMaxTokenLen) flush();
     switch (c) {
       case EXTEND:  // WB4: attach to the open token, never break
         if (!cur.empty()) cur.push_back(cps[i]);

@@ -337,7 +337,8 @@ def main(argv: Optional[List[str]] = None) -> None:
             print(f"[train_qa] step {step}/{args.steps} "
                   f"loss {np.mean(losses[-50:]):.4f} "
                   f"({(time.time() - t0) / step:.2f}s/step)", flush=True)
-        if step // args.eval_every != prev // args.eval_every \
+        if (args.eval_every and
+                step // args.eval_every != prev // args.eval_every) \
                 or step >= args.steps:
             ev = teacher_forced_eval(state.params, cfg, tokenizer,
                                      eval_pool, eval_distract,

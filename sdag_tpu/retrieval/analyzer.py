@@ -360,7 +360,10 @@ def tokenize_uax29(text: str) -> List[str]:
 
     for i, ch in enumerate(text):
         c = cls[i]
-        if len(cur) >= _MAX_TOKEN_LEN and c in _ALNUM_CLS:
+        # force-split at maxTokenLength for ANY continuation — including
+        # Extend/Format (WB4) chars, which would otherwise grow the open
+        # token without bound (Lucene splits at 255 unconditionally)
+        if len(cur) >= _MAX_TOKEN_LEN:
             flush()
         if c == _EXTEND:   # WB4: attach to the open token, never break
             if cur:

@@ -180,18 +180,21 @@ class BM25Index:
     # exceed this many candidate entries, the postings walk (O(sum df of
     # the query's terms)) is costlier than the flat scan kernel's
     # O(N*Lp/Q) share — fall back to the scan engine with a loud note.
-    # The effective budget is min(this, N/2): measured on v5e (r03,
-    # benchmarks/bm25_crossover.py) the walk costs ~2.0 us per 1k
+    # The effective budget is min(this, per-shard N/2): measured on v5e
+    # (r03, benchmarks/bm25_crossover.py) the walk costs ~2.0 us per 1k
     # candidates (10.8/53.8/121/631 us/query at m=8k/33k/66k/262k) vs
-    # the scan's ~1.3 us per 1k docs at Lp=128, crossing at m ~= 0.65*N;
-    # the absolute cap guards the super-linear giant-sort regime (a
-    # monolithic 860k-entry sort measured 17 ms/query, ~10x the linear
-    # extrapolation).
+    # the scan's ~1.3 us per 1k docs at Lp=128, crossing at m ~= 0.65*N.
+    # Both engines parallelize over index shards — each shard walks up to
+    # m_total candidates (w_slots come from per-shard max dfs) while the
+    # scan alternative only covers its OWN row block — so the comparison
+    # point is rows per shard, not the global corpus.  The absolute cap
+    # guards the super-linear giant-sort regime (a monolithic 860k-entry
+    # sort measured 17 ms/query, ~10x the linear extrapolation).
     POSTINGS_CANDIDATE_BUDGET = 1 << 20
 
     def _candidate_budget(self) -> int:
         return min(self.POSTINGS_CANDIDATE_BUDGET,
-                   max(self.valid_n, 2) >> 1)
+                   max(self.valid_n // max(self.n_shards, 1), 2) >> 1)
     # Heavy-term dense sidecar: terms with global df >= max(HEAVY_DF_MIN,
     # N * HEAVY_DF_FRAC) get a dense f32 impact column in heavy_cols
     # [N_shard, H_pad] (doc-major so candidate lookups are contiguous-row
@@ -467,37 +470,61 @@ class BM25Index:
                        "max_query_terms": self.max_query_terms}, f)
 
     @classmethod
-    def load(cls, index_dir: str, mesh=None, block_n: int = 512,
-             engine: str = "postings") -> "BM25Index":
+    def from_packed(cls, term_ids: np.ndarray, impacts: np.ndarray,
+                    vocab: Dict[str, int], *, meta=None, idf=None,
+                    k1: float = 0.9, b: float = 0.4, avgdl: float = 1.0,
+                    valid_n: Optional[int] = None, mesh=None,
+                    block_n: int = 512, engine: str = "postings",
+                    max_query_terms: int = 32) -> "BM25Index":
+        """Construct around precomputed packed [N, Lp] (term_id, impact)
+        arrays — THE supported path for load() and for benchmarks that
+        synthesize postings directly, so internal attribute changes stay
+        in one place instead of being duplicated field-by-field."""
+        if engine not in {"postings", "scan"}:
+            raise ValueError(f"Unknown BM25 engine: {engine}")
         obj = cls.__new__(cls)
-        data = np.load(os.path.join(index_dir, "postings.npz"))
         obj.mesh = mesh if mesh is not None else make_index_mesh()
         obj.n_shards = obj.mesh.shape["index"]
         obj.block_n = block_n
         obj.engine = engine
-        tids, imps = data["term_ids"], data["impacts"]
-        n_pad = _round_up(max(tids.shape[0], 1), block_n * obj.n_shards)
-        if n_pad != tids.shape[0]:
-            pad = ((0, n_pad - tids.shape[0]), (0, 0))
-            tids = np.pad(tids, pad, constant_values=PAD_TERM)
-            imps = np.pad(imps, pad)
-        obj.term_ids = shard_rows(jnp.asarray(tids), obj.mesh, "index")
-        obj.impacts = shard_rows(jnp.asarray(imps), obj.mesh, "index")
-        obj.idf = data["idf"]
+        obj.vocab = dict(vocab)
+        obj.meta = meta if meta is not None else []
+        obj.idf = idf
+        obj.k1, obj.b = float(k1), float(b)
+        obj.avgdl = float(avgdl)
+        obj.valid_n = int(valid_n if valid_n is not None
+                          else term_ids.shape[0])
+        obj.max_query_terms = max_query_terms
+        n_pad = _round_up(max(term_ids.shape[0], 1),
+                          block_n * obj.n_shards)
+        if n_pad != term_ids.shape[0]:
+            pad = ((0, n_pad - term_ids.shape[0]), (0, 0))
+            term_ids = np.pad(term_ids, pad, constant_values=PAD_TERM)
+            impacts = np.pad(impacts, pad)
+        obj.term_ids = shard_rows(jnp.asarray(term_ids), obj.mesh, "index")
+        obj.impacts = shard_rows(jnp.asarray(impacts), obj.mesh, "index")
+        obj._build_postings(term_ids, impacts)
+        return obj
+
+    @classmethod
+    def load(cls, index_dir: str, mesh=None, block_n: int = 512,
+             engine: str = "postings") -> "BM25Index":
+        data = np.load(os.path.join(index_dir, "postings.npz"))
         with open(os.path.join(index_dir, "vocab.json")) as f:
-            obj.vocab = json.load(f)
-        obj.meta = []
+            vocab = json.load(f)
+        meta = []
         with open(os.path.join(index_dir, "meta.jsonl"), encoding="utf-8") as f:
             for line in f:
                 if line.strip():
-                    obj.meta.append(json.loads(line))
+                    meta.append(json.loads(line))
         with open(os.path.join(index_dir, "manifest.json")) as f:
             man = json.load(f)
-        obj.k1, obj.b = man["k1"], man["b"]
-        obj.avgdl, obj.valid_n = man["avgdl"], man["n"]
-        obj.max_query_terms = man.get("max_query_terms", 32)
-        obj._build_postings(tids, imps)
-        return obj
+        return cls.from_packed(
+            data["term_ids"], data["impacts"], vocab, meta=meta,
+            idf=data["idf"], k1=man["k1"], b=man["b"], avgdl=man["avgdl"],
+            valid_n=man["n"],
+            max_query_terms=man.get("max_query_terms", 32),
+            mesh=mesh, block_n=block_n, engine=engine)
 
     @classmethod
     def from_texts(cls, texts: List[str], ids: List[str], **kw) -> "BM25Index":

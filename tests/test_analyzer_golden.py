@@ -61,6 +61,26 @@ def test_native_and_python_agree_on_fuzz(fix):
     assert na.analyze_batch(texts) == pa.analyze_batch(texts)
 
 
+def test_max_token_length_bounds_extend_runs():
+    """StandardTokenizer maxTokenLength (255) must bound EVERY token —
+    including ones grown by Extend/Format (WB4) codepoints, which skip
+    the alnum-only cap check an earlier version used.  A combining-mark
+    flood must not produce an unbounded token, and a long alnum run
+    force-splits at 255 intervals; C++ and Python must agree."""
+    texts = ["a" + "́" * 1000,        # 1 letter + Extend flood
+             "x" * 600,                    # pure alnum run: 255/255/90
+             "7" * 300 + "́" * 300]   # digits then marks
+    pa = _PythonAnalyzer()
+    got_py = pa.analyze_batch(texts)
+    for toks in got_py:
+        assert toks and all(len(t) <= 255 for t in toks)
+    assert [len(t) for t in got_py[1]] == [255, 255, 90]
+    so = _build_native()
+    if so is None:
+        pytest.skip("no C++ toolchain")
+    assert _NativeAnalyzer(so).analyze_batch(texts) == got_py
+
+
 def test_bm25_top10_matches_golden(fix):
     docs = fix["bm25"]["docs"]
     index = BM25Index.from_texts([d["text"] for d in docs],

@@ -103,6 +103,33 @@ def test_data_parallel_encode_matches_single_device(enc):
     np.testing.assert_allclose(got, ref, atol=2e-6)
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_data_parallel_encode_fused_matches_single_device(enc):
+    """The DP path must run the SAME forward as single-device — including
+    the fused Pallas attention kernel (on CPU via interpret mode).  Guards
+    against the DP wrapper silently dropping fused_attention, which would
+    skew build-side vs query-side embeddings on TPU."""
+    from sdag_tpu.core.mesh import make_mesh
+    from sdag_tpu.ops import encoder_attention as ea
+    mesh = make_mesh(data=jax.device_count(), model=1)
+    orig = ea.encoder_attention_fused_qkv
+    try:
+        ea.encoder_attention_fused_qkv = \
+            lambda qkv, vl, n_heads: orig(qkv, vl, n_heads=n_heads,
+                                          interpret=True)
+        single = E5Encoder(enc.params, CFG, ByteTokenizer(),
+                           model_name="tiny-e5", fused=True)
+        dp = E5Encoder(enc.params, CFG, ByteTokenizer(),
+                       model_name="tiny-e5", dp_mesh=mesh, fused=True)
+        texts = [f"passage number {i} about topic {i % 3}"
+                 for i in range(11)]
+        ref = single.encode(texts, kind="passage", batch_size=16)
+        got = dp.encode(texts, kind="passage", batch_size=16)
+    finally:
+        ea.encoder_attention_fused_qkv = orig
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
 def test_fused_qkv_params_match_plain(enc):
     """fuse_qkv_params (one [d,3d] matmul instead of three) must be
     numerically identical to the plain wq/wk/wv forward."""
