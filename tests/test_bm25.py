@@ -169,6 +169,27 @@ def test_postings_budget_falls_back_to_scan(monkeypatch, capsys):
     np.testing.assert_allclose(s1, s2, rtol=1e-5)
 
 
+def test_candidate_budget_is_per_shard():
+    """The postings->scan crossover compares the walk's candidate count
+    against the SCAN'S per-device cost: on an n-shard mesh each shard
+    only scans valid_n/n rows, so the budget must shrink with the shard
+    count (a global-N budget kept the walk ~n/2x past the measured
+    crossover on sharded meshes)."""
+    docs = [f"word{i} filler" for i in range(64)]
+    ids = [f"d{i}" for i in range(len(docs))]
+    index = BM25Index.from_texts(docs, ids, engine="postings")
+    assert index._candidate_budget() == min(
+        BM25Index.POSTINGS_CANDIDATE_BUDGET,
+        max(index.valid_n // index.n_shards, 2) >> 1)
+    # the budget rule is pure arithmetic over (valid_n, n_shards):
+    # simulate shapes without needing more devices
+    index.valid_n, index.n_shards = 8_000_000, 8
+    assert index._candidate_budget() == (8_000_000 // 8) >> 1  # per shard
+    index.n_shards = 1
+    assert index._candidate_budget() == \
+        BM25Index.POSTINGS_CANDIDATE_BUDGET  # global cap binds at 8M x 1
+
+
 def test_postings_fewer_than_k_matches_pins_na_slots():
     """ADVICE r2 (low): when a query matches fewer than top_k docs the
     postings engine returns (-1, -inf) slots — materialized as ''/'NA'
