@@ -13,7 +13,6 @@ from __future__ import annotations
 import re
 import string
 import unicodedata
-from typing import Iterable
 
 _PUNCT = set(string.punctuation)
 _ARTICLES_RE = re.compile(r"\b(a|an|the)\b")
@@ -53,6 +52,3 @@ def exact_match(prediction: str, ground_truth: str) -> bool:
     prediction = re.sub(r"<think>.*?</think>", "", prediction, flags=re.DOTALL)
     return normalize_answer(ground_truth) in normalize_answer(prediction)
 
-
-def any_exact_match(prediction: str, ground_truths: Iterable[str]) -> bool:
-    return any(exact_match(prediction, gt) for gt in ground_truths)

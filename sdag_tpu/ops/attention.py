@@ -1002,9 +1002,3 @@ def quantize_kv_heads_int8(x):
     from sdag_tpu.ops.topk import quantize_last_axis_int8
     return quantize_last_axis_int8(x)
 
-
-def causal_decode_attention(q, k_cache, v_cache, cache_len):
-    """masked_decode_attention with a simple length-based mask."""
-    Lmax = k_cache.shape[2]
-    mask = jnp.arange(Lmax, dtype=jnp.int32)[None, :] < cache_len[:, None]
-    return masked_decode_attention(q, k_cache, v_cache, mask)

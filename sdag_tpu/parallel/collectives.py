@@ -10,7 +10,6 @@ single-device exact scan.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -230,7 +229,3 @@ def sharded_bm25_hybrid_topk(post_docs: jax.Array, post_imps: jax.Array,
     return fn(q_terms, q_weights, q_heavy_idx, post_docs, post_imps,
               offsets, heavy_cols, heavy_rows)
 
-
-@partial(jax.jit, static_argnames=("axis_name",))
-def psum_scalar(x, axis_name: str = "data"):
-    return jax.lax.psum(x, axis_name)

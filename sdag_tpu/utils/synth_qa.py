@@ -65,11 +65,6 @@ class World:
         es = set(entities)
         return [f for f in self.facts if f.entity in es]
 
-    def value_of(self, entity: str, attr: str) -> str:
-        for f in self.facts:
-            if f.entity == entity and f.attr == attr:
-                return f.value
-        raise KeyError((entity, attr))
 
 
 def fact_doc(f: Fact) -> str:
