@@ -190,7 +190,7 @@ def layer_forward(layer: Dict[str, Any], cfg: DecoderConfig, x: jax.Array,
                   valid_len: jax.Array, attn_impl: str = "auto",
                   block_q: int = 128, block_k: int = 128,
                   with_kv: bool = False, tp_axis: Optional[str] = None,
-                  use_mask_tiles: bool = False):
+                  use_mask_tiles: bool = False, mask_plan=None):
     """One decoder layer (attention + MLP with residuals).  Shared by the
     prefill loop and the pipeline-parallel stage scan (parallel/pipeline.py).
     Returns (x, (k, v)) — k/v only when with_kv.
@@ -210,7 +210,7 @@ def layer_forward(layer: Dict[str, Any], cfg: DecoderConfig, x: jax.Array,
     attn_out = sdag_prefill_attention(
         q, k, v, doc_id, nbr_bits, sys_user_len, valid_len=valid_len,
         impl=attn_impl, block_q=block_q, block_k=block_k,
-        use_mask_tiles=use_mask_tiles)
+        use_mask_tiles=use_mask_tiles, mask_plan=mask_plan)
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, L, -1)
     x = x + _maybe_psum(attn_out @ layer["attn"]["wo"], tp_axis)
     x = x + _maybe_psum(
@@ -287,13 +287,28 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig,
             jnp.cumsum(active.astype(jnp.int32), axis=1) - 1, 0)
     x = params["embed"][input_ids].astype(cfg.dtype)
 
+    # layer-invariant mask metadata (block kinds + int8 mask tiles) is
+    # computed ONCE here — XLA does not CSE it across per-layer attention
+    # calls, so without the plan an n-layer prefill pays n x the O(L^2)
+    # mask derivation (shapes/dtypes suffice to resolve the plan)
+    from sdag_tpu.ops.attention import prefill_mask_plan
+    q_spec = jax.ShapeDtypeStruct((B, cfg.n_heads, L, cfg.head_dim),
+                                  cfg.dtype)
+    k_spec = jax.ShapeDtypeStruct((B, cfg.n_kv_heads, L, cfg.head_dim),
+                                  cfg.dtype)
+    mask_plan = prefill_mask_plan(q_spec, k_spec, doc_id, nbr_bits,
+                                  sys_user_len, valid_len, impl=attn_impl,
+                                  use_mask_tiles=use_mask_tiles,
+                                  block_q=block_q, block_k=block_k)
+
     ks, vs = [], []
     for layer in params["layers"]:
         x, kv = layer_forward(layer, cfg, x, positions, doc_id, nbr_bits,
                               sys_user_len, valid_len, attn_impl=attn_impl,
                               block_q=block_q, block_k=block_k,
                               with_kv=with_cache, tp_axis=tp_axis,
-                              use_mask_tiles=use_mask_tiles)
+                              use_mask_tiles=use_mask_tiles,
+                              mask_plan=mask_plan)
         if with_cache:
             ks.append(kv[0])
             vs.append(kv[1])

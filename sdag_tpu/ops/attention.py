@@ -74,12 +74,15 @@ def sdag_attention_reference(q, k, v, doc_id, nbr_bits, sys_user_len,
     if nbr_bits_q is None:
         nbr_bits_q = nbr_bits
 
-    i = q_offset + jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 0)
+    # q_offset may be scalar or per-batch [B] (the Pallas kernels accept
+    # both); vmapping it keeps the two paths parity-comparable either way
+    q_offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 1)
 
-    def one(qb, kb, vb, db_q, db_k, nb_q, sul, vl):
-        mask = _tile_mask(i, j, db_q[:, None], db_k[None, :], nb_q[:, None],
-                          sul, vl)
+    def one(qb, kb, vb, db_q, db_k, nb_q, sul, vl, qo):
+        mask = _tile_mask(qo + iota_i, j, db_q[:, None], db_k[None, :],
+                          nb_q[:, None], sul, vl)
         scores = jnp.einsum("hid,hjd->hij", qb, kb,
                             preferred_element_type=jnp.float32) * scale
         scores = jnp.where(mask[None], scores, DEFAULT_MASK_VALUE)
@@ -87,10 +90,25 @@ def sdag_attention_reference(q, k, v, doc_id, nbr_bits, sys_user_len,
         return jnp.einsum("hij,hjd->hid", probs.astype(vb.dtype), vb)
 
     return jax.vmap(one)(q, k, v, doc_id_q, doc_id, nbr_bits_q,
-                         sys_user_len, valid_len)
+                         sys_user_len, valid_len, q_offset)
 
 
 BLOCK_SKIP, BLOCK_FULL, BLOCK_PARTIAL, BLOCK_CAUSAL = 0, 1, 2, 3
+
+
+def _pick_block(length: int) -> int:
+    """Largest MXU-friendly tile dividing the length (lengths are
+    128-multiples by the dispatcher's contract)."""
+    for cand in (512, 256, 128):
+        if length % cand == 0:
+            return cand
+    return min(length, 128)
+
+
+def _mask_tiles_fit(Lk: int, block_q: int) -> bool:
+    """A (b, q-row) int8 mask strip is Lk*block_q bytes and must fit VMEM
+    staging (2MB cap → L=4096 is the last enabled size at 512-blocks)."""
+    return Lk * block_q <= 2 ** 21
 
 
 def compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
@@ -320,7 +338,8 @@ def sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                          valid_len=None, block_q: int = 128,
                          block_k: int = 128, scale: Optional[float] = None,
                          interpret: bool = False,
-                         doc_id_q=None, nbr_bits_q=None, q_offset=None):
+                         doc_id_q=None, nbr_bits_q=None, q_offset=None,
+                         kinds=None):
     """Pallas block-sparse flash attention.
 
     q: [B, H, Lq, Dh]; k/v: [B, Hkv, Lk, Dh] (GQA groups mapped via the
@@ -353,10 +372,13 @@ def sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
     q_offset = (jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
                 if q_offset is not None else jnp.zeros((B,), jnp.int32))
     meta = jnp.stack([sys_user_len, valid_len, q_offset], axis=1)  # [B, 3]
-    kinds = compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
-                                block_q, block_k, doc_id_q=doc_id_q,
-                                nbr_bits_q=nbr_bits_q,
-                                q_offset=q_offset)  # [B, nQ, nK]
+    if kinds is None:  # callers with many layers precompute once (see
+        # prefill_mask_plan) — XLA does NOT CSE this across layer calls
+        kinds = compute_block_kinds(doc_id, nbr_bits, sys_user_len,
+                                    valid_len, block_q, block_k,
+                                    doc_id_q=doc_id_q,
+                                    nbr_bits_q=nbr_bits_q,
+                                    q_offset=q_offset)  # [B, nQ, nK]
 
     qf = q.reshape(B * H, Lq, Dh)
     # GQA: kv stays grouped; the BlockSpec maps each q head to its shared kv
@@ -436,7 +458,8 @@ def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
                                scale: Optional[float] = None,
                                interpret: bool = False,
                                doc_id_q=None, nbr_bits_q=None, q_offset=None,
-                               use_mask_tiles: bool = False):
+                               use_mask_tiles: bool = False,
+                               kinds=None, mask_tiles=None):
     """KV-resident block-sparse flash attention.
 
     Same contract as ``sdag_flash_attention``, different schedule: the grid
@@ -461,22 +484,13 @@ def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
     n_rep = H // n_kv
     scale = scale if scale is not None else Dh ** -0.5
 
-    def pick_block(length):
-        # largest MXU-friendly tile dividing the length (lengths are
-        # 128-multiples by the dispatcher's contract)
-        for cand in (512, 256, 128):
-            if length % cand == 0:
-                return cand
-        return min(length, 128)
-
-    block_q = min(block_q, Lq) if block_q else pick_block(Lq)
-    block_k = min(block_k, L) if block_k else pick_block(L)
+    block_q = min(block_q, Lq) if block_q else _pick_block(Lq)
+    block_k = min(block_k, L) if block_k else _pick_block(L)
     if Lq % block_q or L % block_k:
         raise ValueError(f"Lq={Lq}/Lk={L} must divide the block sizes")
-    if use_mask_tiles and (L // block_k) * block_q * block_k > 2 ** 21:
-        # a (b, q-row) mask strip must fit VMEM staging (~2MB int8);
-        # beyond that (L > 8192 at 512-blocks) sparsity already wins big
-        # and the in-kernel rule is fine
+    if use_mask_tiles and not _mask_tiles_fit(L, block_q):
+        # beyond the staging budget sparsity already wins big and the
+        # in-kernel rule is fine
         use_mask_tiles = False
     if doc_id_q is None:
         doc_id_q = doc_id
@@ -491,9 +505,12 @@ def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
     q_offset = (jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
                 if q_offset is not None else jnp.zeros((B,), jnp.int32))
     meta = jnp.stack([sys_user_len, valid_len, q_offset], axis=1)  # [B, 3]
-    kinds = compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
-                                block_q, block_k, doc_id_q=doc_id_q,
-                                nbr_bits_q=nbr_bits_q, q_offset=q_offset)
+    if kinds is None:  # callers with many layers precompute once (see
+        # prefill_mask_plan) — XLA does NOT CSE this across layer calls
+        kinds = compute_block_kinds(doc_id, nbr_bits, sys_user_len,
+                                    valid_len, block_q, block_k,
+                                    doc_id_q=doc_id_q,
+                                    nbr_bits_q=nbr_bits_q, q_offset=q_offset)
 
     qf = q.reshape(B * H, Lq, Dh)
     kf = k.reshape(B * n_kv, L, Dh)
@@ -634,9 +651,16 @@ def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
 
     args = [meta, kinds, qf, kf, vf, doc_id_q, doc_id, nbr_bits_q]
     if use_mask_tiles:
-        args.append(tile_masks_from_metadata(
-            doc_id, nbr_bits, sys_user_len, valid_len, block_q, block_k,
-            doc_id_q=doc_id_q, nbr_bits_q=nbr_bits_q, q_offset=q_offset))
+        if mask_tiles is None:  # precomputable once per prefill, like kinds
+            mask_tiles = tile_masks_from_metadata(
+                doc_id, nbr_bits, sys_user_len, valid_len, block_q, block_k,
+                doc_id_q=doc_id_q, nbr_bits_q=nbr_bits_q, q_offset=q_offset)
+        if mask_tiles.shape != (B, nq, nk, block_q, block_k):
+            raise ValueError(
+                f"mask_tiles shape {mask_tiles.shape} does not match the "
+                f"resolved blocks {(B, nq, nk, block_q, block_k)} — build "
+                "it with prefill_mask_plan so block choices agree")
+        args.append(mask_tiles)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -826,8 +850,11 @@ def sdag_splash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                                lambda bh, qi, *_: (bh, qi, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((4, block_k, Dh), q.dtype),
-            pltpu.VMEM((4, block_k, Dh), q.dtype),
+            # staging buffers receive raw HBM bytes of k/v — they must be
+            # typed k/v dtype, not q dtype (a bf16-q/f32-kv call would
+            # otherwise DMA into a mismatched buffer)
+            pltpu.VMEM((4, block_k, Dh), k.dtype),
+            pltpu.VMEM((4, block_k, Dh), v.dtype),
             pltpu.SemaphoreType.DMA((4, 2)),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -863,6 +890,66 @@ def _kvres_fits_vmem(k: jax.Array) -> bool:
     return staged * 2.2 <= 14 * 1024 * 1024
 
 
+def _resolve_prefill_impl(q, k, impl: str) -> str:
+    """The dispatcher's impl choice, shared with prefill_mask_plan."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl in ("pallas", "pallas_kvres") and q.shape[2] % 128:
+        impl = "xla"  # unpadded lengths fall back to the dense-mask path
+    if impl == "pallas" and _kvres_fits_vmem(k):
+        impl = "pallas_kvres"
+    return impl
+
+
+def prefill_mask_plan(q, k, doc_id, nbr_bits, sys_user_len, valid_len=None,
+                      impl: str = "auto", use_mask_tiles: bool = False,
+                      doc_id_q=None, nbr_bits_q=None, q_offset=None,
+                      block_q=None, block_k=None):
+    """Precompute the LAYER-INVARIANT prefill mask metadata once.
+
+    The block kinds ([B, nQ, nK]) and optional int8 mask tiles depend
+    only on (doc layout, lengths), yet every per-layer attention call
+    re-derives them — and XLA does NOT CSE the duplication across layer
+    subgraphs (measured: compiled-HLO iota count scales linearly with
+    n_layers), so an n-layer prefill pays n× the O(L²) mask work and,
+    with mask tiles, n× the [B, Lq, Lk] materialization.  Callers with
+    multiple layers (``models/llama.py prefill``) call this once and
+    pass the result to every ``sdag_prefill_attention(mask_plan=...)``.
+
+    Resolves impl/block sizes exactly like the dispatcher; returns None
+    when the resolved path is XLA (the reference builds its own mask).
+    """
+    impl = _resolve_prefill_impl(q, k, impl)
+    if impl == "xla":
+        return None
+    Lq, L = q.shape[2], k.shape[2]
+    if impl == "pallas_kvres":  # kvres auto-picks large MXU tiles
+        bq = min(block_q, Lq) if block_q else _pick_block(Lq)
+        bk = min(block_k, L) if block_k else _pick_block(L)
+    else:  # the grid kernel defaults to 128 blocks — keep that choice
+        bq = min(block_q or 128, Lq)
+        bk = min(block_k or 128, L)
+    use_mask_tiles = (use_mask_tiles and impl == "pallas_kvres"
+                      and _mask_tiles_fit(L, bq))
+    B = q.shape[0]
+    sul = jnp.broadcast_to(jnp.asarray(sys_user_len, jnp.int32), (B,))
+    vl = (jnp.broadcast_to(jnp.asarray(valid_len, jnp.int32), (B,))
+          if valid_len is not None else jnp.full((B,), L, jnp.int32))
+    qo = (jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
+          if q_offset is not None else jnp.zeros((B,), jnp.int32))
+    kinds = compute_block_kinds(doc_id, nbr_bits, sul, vl, bq, bk,
+                                doc_id_q=doc_id_q, nbr_bits_q=nbr_bits_q,
+                                q_offset=qo)
+    tiles = None
+    if use_mask_tiles:
+        tiles = tile_masks_from_metadata(doc_id, nbr_bits, sul, vl, bq, bk,
+                                         doc_id_q=doc_id_q,
+                                         nbr_bits_q=nbr_bits_q, q_offset=qo)
+    return {"impl": impl, "block_q": bq, "block_k": bk,
+            "use_mask_tiles": use_mask_tiles, "kinds": kinds,
+            "mask_tiles": tiles}
+
+
 def sdag_prefill_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                            valid_len=None, impl: str = "auto", **kw):
     """Dispatch: Pallas flash kernel on TPU (KV-resident schedule when one
@@ -873,14 +960,23 @@ def sdag_prefill_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
     prefill) streams precomputed int8 mask tiles instead of recomputing
     the SDAG rule per (layer, head, tile) — measured 1.59 -> 1.11 ms on
     the L=4096/20-doc bench geometry; kvres-only, auto-disabled when a
-    mask strip exceeds the VMEM budget."""
+    mask strip exceeds the VMEM budget.
+
+    mask_plan: a ``prefill_mask_plan`` result (or None) — multi-layer
+    callers precompute the layer-invariant kinds/tiles once instead of
+    paying the O(L²) derivation per layer."""
     use_mask_tiles = bool(kw.pop("use_mask_tiles", False))
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl in ("pallas", "pallas_kvres") and q.shape[2] % 128:
-        impl = "xla"  # unpadded lengths fall back to the dense-mask path
-    if impl == "pallas" and _kvres_fits_vmem(k):
-        impl = "pallas_kvres"
+    plan = kw.pop("mask_plan", None)
+    if plan is not None:
+        impl = plan["impl"]
+        use_mask_tiles = plan["use_mask_tiles"]
+        kw.setdefault("block_q", plan["block_q"])
+        kw.setdefault("block_k", plan["block_k"])
+        kw.setdefault("kinds", plan["kinds"])
+        if use_mask_tiles:
+            kw.setdefault("mask_tiles", plan["mask_tiles"])
+    else:
+        impl = _resolve_prefill_impl(q, k, impl)
     if impl == "pallas_kvres":
         return sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits,
                                           sys_user_len, valid_len=valid_len,
@@ -889,8 +985,14 @@ def sdag_prefill_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
     if impl == "pallas":
         return sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                                     valid_len=valid_len, **kw)
+    # XLA fallback: forward the SEMANTIC kwargs (context-parallel q-slice
+    # metadata + scale) — dropping them would silently compute the wrong
+    # mask for CP callers; kernel tuning knobs (block_q/block_k/...) have
+    # no XLA meaning and are discarded.
+    xla_kw = {name: kw[name] for name in
+              ("scale", "q_offset", "doc_id_q", "nbr_bits_q") if name in kw}
     return sdag_attention_reference(q, k, v, doc_id, nbr_bits, sys_user_len,
-                                    valid_len=valid_len)
+                                    valid_len=valid_len, **xla_kw)
 
 
 def masked_decode_attention(q, k_cache, v_cache, cache_mask):

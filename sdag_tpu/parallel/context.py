@@ -39,9 +39,19 @@ def context_parallel_prefill_attention(
         but per-device live KV is O(L).
       "ring" — ring attention: each device streams the n KV chunks via
         ``ppermute`` while folding them into running flash statistics;
-        per-device live KV stays O(L/n) (VERDICT r1 item 7).
+        per-device live KV stays O(L/n) (VERDICT r1 item 7).  Chunk
+        attention runs as XLA einsums with CHUNK-level block-kind
+        skipping (``chunk_needed``) — ``impl``/``block_q``/``block_k``
+        do not apply and an explicit Pallas request is rejected rather
+        than silently ignored.
     """
     if kv_exchange == "ring":
+        if impl not in ("auto", "xla"):
+            raise ValueError(
+                "kv_exchange='ring' computes chunk attention as XLA "
+                f"einsums (chunk-level skipping); impl={impl!r} and "
+                "block sizes do not apply — use kv_exchange='all_gather' "
+                "for the Pallas tile kernel")
         return ring_prefill_attention(q, k, v, doc_id, nbr_bits,
                                       sys_user_len, valid_len, mesh, axis)
     n = mesh.shape[axis]

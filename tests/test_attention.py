@@ -247,3 +247,91 @@ def test_kvres_mask_tiles_matches_reference():
         interpret=True, use_mask_tiles=True))
     for b, vl in enumerate([230, 200]):
         assert np.abs(ref[b] - out[b])[:, :vl].max() < 3e-2
+
+
+def test_prefill_mask_plan_computes_metadata_once():
+    """The layer-invariant kinds/mask tiles must be derived ONCE per
+    prefill, not once per layer: XLA does not CSE the duplication across
+    layer subgraphs (measured: compiled-HLO iota count scaled linearly
+    with n_layers before the hoist).  Also pins plan == no-plan output
+    bit-identity through a 4-layer model."""
+    from unittest import mock
+
+    import sdag_tpu.ops.attention as A
+    from sdag_tpu.models.llama import (DecoderConfig, init_decoder_params,
+                                       prefill)
+
+    calls = {"kinds": 0, "tiles": 0, "kernel": 0}
+    orig_kinds = A.compute_block_kinds
+    orig_tiles = A.tile_masks_from_metadata
+    orig_kvres = A.sdag_flash_attention_kvres
+
+    def k_wrap(*a, **kw):
+        calls["kinds"] += 1
+        return orig_kinds(*a, **kw)
+
+    def t_wrap(*a, **kw):
+        calls["tiles"] += 1
+        return orig_tiles(*a, **kw)
+
+    def kv_wrap(*a, **kw):
+        calls["kernel"] += 1
+        kw["interpret"] = True
+        return orig_kvres(*a, **kw)
+
+    cfg = DecoderConfig(vocab_size=512, d_model=64, n_layers=4,
+                        n_heads=4, n_kv_heads=2, d_ff=128,
+                        dtype=jnp.float32)
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    B, L = 2, 256
+    ids = jnp.zeros((B, L), jnp.int32)
+    rng = np.random.default_rng(0)
+    doc_id = jnp.asarray(rng.integers(-1, 4, size=(B, L)), jnp.int32)
+    nbr = jnp.zeros((B, L), jnp.int32)
+    kw = dict(cache_size=L + 8, doc_id=doc_id, nbr_bits=nbr,
+              sys_user_len=jnp.asarray([32, 16]),
+              valid_len=jnp.asarray([L, L - 64]),
+              attn_impl="pallas_kvres")
+    with mock.patch.object(A, "compute_block_kinds", k_wrap), \
+            mock.patch.object(A, "tile_masks_from_metadata", t_wrap), \
+            mock.patch.object(A, "sdag_flash_attention_kvres", kv_wrap):
+        with_plan, _ = prefill(params, cfg, ids, **kw)
+        assert calls == {"kinds": 1, "tiles": 1, "kernel": 4}, calls
+        with mock.patch.object(A, "prefill_mask_plan",
+                               lambda *a, **k: None):
+            no_plan, _ = prefill(params, cfg, ids, **kw)
+    assert bool(jnp.all(with_plan == no_plan))
+
+
+def test_xla_fallback_forwards_cp_metadata():
+    """sdag_prefill_attention's XLA fallback must forward the semantic
+    kwargs (q_offset/doc_id_q/nbr_bits_q/scale) — dropping them computed
+    the wrong mask for context-parallel callers — and the reference must
+    accept per-batch [B] q_offset like the Pallas kernels do."""
+    from sdag_tpu.ops.attention import sdag_prefill_attention
+    rng = np.random.default_rng(5)
+    B, H, L, Dh = 2, 2, 128, 32
+    Lq, off = 64, 64                      # second half of the q rows
+    doc_id, bits, sul = layout_to_metadata(
+        BlockLayout(120, 24, ((24, 60), (62, 100)), 104),
+        doc_neighbors=[[1], [0]], pad_to=L)
+    doc_id = np.stack([doc_id] * B)
+    bits = np.stack([bits] * B)
+    q = rng.standard_normal((B, H, L, Dh)).astype(np.float32)
+    k = rng.standard_normal((B, H, L, Dh)).astype(np.float32)
+    v = rng.standard_normal((B, H, L, Dh)).astype(np.float32)
+    sa = jnp.array([sul] * B)
+    vl = jnp.array([120, 110])
+    full = sdag_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(doc_id), jnp.asarray(bits), sa, vl)
+    # q-slice through the DISPATCHER on the xla path, array q_offset
+    sliced = sdag_prefill_attention(
+        jnp.asarray(q[:, :, off:off + Lq]), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(doc_id), jnp.asarray(bits), sa, valid_len=vl,
+        impl="xla", q_offset=jnp.full((B,), off, jnp.int32),
+        doc_id_q=jnp.asarray(doc_id[:, off:off + Lq]),
+        nbr_bits_q=jnp.asarray(bits[:, off:off + Lq]))
+    np.testing.assert_allclose(np.asarray(sliced),
+                               np.asarray(full)[:, :, off:off + Lq],
+                               rtol=2e-5, atol=2e-5)
