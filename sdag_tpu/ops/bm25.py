@@ -115,8 +115,7 @@ def _bm25_topk_kernel(valid_ref, qt_ref, qw_ref, terms_ref, impacts_ref,
                                    idx_scratch[:])
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from sdag_tpu.utils.mathutil import round_up as _round_up
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_n", "interpret"))

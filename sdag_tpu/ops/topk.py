@@ -24,8 +24,7 @@ NEG_INF = float("-inf")
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from sdag_tpu.utils.mathutil import round_up as _round_up
 
 
 def exact_topk_xla(queries: jax.Array, corpus: jax.Array, k: int,

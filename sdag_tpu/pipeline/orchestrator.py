@@ -219,11 +219,22 @@ def run_pair_malicious_doc_attack_for_batch(
             discern_labels.append(out.doc_labels)
 
     rows: List[Dict[str, Any]] = []
-    for _shuffle in range(num_shuffles_for_prompt_order(cfg)):
-        with timer.phase("generate_iso"):
-            answers_iso = generate_iso_batch(
-                cfg, res, batch_qs, defended_docs, survived_mals,
-                pair.attacker_pos if cfg.ORACLE else 0, rng)
+    n_shuffles = num_shuffles_for_prompt_order(cfg)
+    # ISO prompts ignore RANKED_LIST_ORDER_IN_PROMPT (reference parity:
+    # SDAG.py builds its own span layout), so under greedy decoding with a
+    # deterministic injection position every shuffle's ISO answers are
+    # byte-identical — generate once instead of paying the dominant
+    # prefill+decode phase NUM_RANDOM_SHUFFLES times.  pos=-1 (random
+    # injection) and T>0 (sampling) keep the per-shuffle rerun.
+    iso_invariant = (n_shuffles > 1 and cfg.TEMPERATURE == 0
+                     and pair.attacker_pos != -1)
+    answers_iso: Optional[List[str]] = None
+    for _shuffle in range(n_shuffles):
+        if answers_iso is None or not iso_invariant:
+            with timer.phase("generate_iso"):
+                answers_iso = generate_iso_batch(
+                    cfg, res, batch_qs, defended_docs, survived_mals,
+                    pair.attacker_pos if cfg.ORACLE else 0, rng)
         with timer.phase("generate_noiso"):
             answers_noiso = generate_noiso_batch(
                 cfg, res, batch_qs, defended_docs, survived_mals,
@@ -297,12 +308,18 @@ def run_pair_doc_corruption_for_batch(
                                                  gts, false_ans)
                 docs_poisoned = list(docs_pool)
                 docs_poisoned[attacked_idx] = poisoned
+                # resolve a random position ONCE so the docs and ids
+                # lists move the attacked entry to the SAME slot — the
+                # reference draws twice (main.py:621-631), misaligning
+                # retrieved_doc_ids from the prompt docs (deliberate fix,
+                # README "Deliberate fixes")
+                pos = pair.attacker_pos
+                if pos == -1:
+                    pos = rng.randint(0, len(docs_poisoned) - 1) + 1
                 docs_for_prompt = build_docs_for_attack(
-                    docs_poisoned, attacked_idx, pair.attacker_pos,
-                    k_plus_one, rng=rng)
+                    docs_poisoned, attacked_idx, pos, k_plus_one, rng=rng)
                 ids_for_prompt = build_docs_for_attack(
-                    list(ids_pool), attacked_idx, pair.attacker_pos,
-                    k_plus_one, rng=rng)
+                    list(ids_pool), attacked_idx, pos, k_plus_one, rng=rng)
                 items.append({
                     "qid": qid, "q": q, "gts": gts, "false_ans": false_ans,
                     "poisoned": poisoned, "docs_pool": docs_pool,
@@ -356,7 +373,6 @@ def run_experiment(cfg: Config,
     the per-pair CSV + JSON outputs (reference ``main.py:702-858``)."""
     cfg.validate()
     cfg.init_seeds()
-    rng = random.Random(cfg.SEED)
     timer = PhaseTimer()
 
     query_data = load_queries_unified(cfg)
@@ -394,6 +410,11 @@ def run_experiment(cfg: Config,
     with maybe_profile():
         for i in range(0, num_q, bs):
             batch_idx = i // bs
+            # a per-batch rng stream (not one run-long stream) makes a
+            # resumed run draw exactly what the uninterrupted run would
+            # have for every fresh batch — skipped batches consume no
+            # state the remaining batches depend on
+            rng = random.Random(cfg.SEED * 1_000_003 + batch_idx)
             if resume_logs and all(
                     log.is_done(batch_idx) for log in resume_logs.values()):
                 for key, log in resume_logs.items():
@@ -432,6 +453,14 @@ def run_experiment(cfg: Config,
 
             for pair in pairs:
                 key = (pair.top_k, pair.attacker_pos)
+                # per-pair resume: a crash between two pairs' appends must
+                # not re-append the completed pair's rows on the next run
+                # (the log would hold them twice and every later resume
+                # would double-count them in ACC/ASR)
+                if resume_logs and resume_logs[key].is_done(batch_idx):
+                    results_per_pair[key].extend(
+                        resume_logs[key].rows_for(batch_idx))
+                    continue
                 if cfg.ATTACK_VARIANT == "malicious_doc":
                     rows = run_pair_malicious_doc_attack_for_batch(
                         cfg=cfg, res=res, defense=defense,

@@ -28,8 +28,7 @@ from sdag_tpu.parallel.collectives import sharded_topk_search
 from sdag_tpu.retrieval.retriever import Retriever
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from sdag_tpu.utils.mathutil import round_up as _round_up
 
 
 class DenseIndex:
@@ -67,7 +66,17 @@ class DenseIndex:
         padded[: self.valid_n] = np.asarray(embeddings, dtype=np.float32)
         self.resid = None
         self.resid_scales = None
-        self.int8_rescore = bool(int8_rescore) and self.quantized
+        # rescore exists only on the approx path (the exact kernel scores
+        # from the int8 base alone) — building residuals in exact mode
+        # would double index HBM for arrays search() never reads
+        self.int8_rescore = (bool(int8_rescore) and self.quantized
+                             and search_mode == "approx")
+        if bool(int8_rescore) and self.quantized and search_mode == "exact":
+            print("[dense] Note: DENSE_INT8_RESCORE has no effect with "
+                  "DENSE_SEARCH_MODE=exact (the exact kernel scores the "
+                  "int8 base directly, ~0.98 recall); residuals are not "
+                  "built. Use search_mode='approx' for rescored ~0.999 "
+                  "recall.", flush=True)
         if self.int8_rescore:
             # int8 base + int8 residual: the coarse scan reads only the
             # base (1/4 of f32 HBM traffic) and candidates are rescored at

@@ -25,8 +25,7 @@ from sdag_tpu.retrieval.analyzer import analyze_texts
 from sdag_tpu.retrieval.retriever import Retriever
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from sdag_tpu.utils.mathutil import round_up as _round_up
 
 
 def _csr_from_packed(term_ids: np.ndarray, impacts: np.ndarray,

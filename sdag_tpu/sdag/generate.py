@@ -28,8 +28,7 @@ from sdag_tpu.ops.sampling import (draft_accept_probs, sample_excluding,
 from sdag_tpu.sdag.spans import PromptPlan
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from sdag_tpu.utils.mathutil import round_up as _round_up
 
 
 class Generator:
@@ -189,13 +188,15 @@ class Generator:
                  jnp.asarray(doc_id), jnp.asarray(nbr_bits),
                  jnp.asarray(sys_user_len), jnp.asarray(valid_len),
                  sub)
-        if len(res) == 3:   # speculative engine also reports its rounds
-            out, lengths, rounds = res
-            # emitted/rounds - 1 = mean accepted drafts per round: the
-            # workload's actual speculation factor
+        if len(res) == 4:   # speculative engine also reports its rounds
+            out, lengths, rounds, row_rounds = res
+            # emitted/row_rounds - 1 = mean accepted drafts per round:
+            # the workload's actual speculation factor (row_rounds only
+            # counts rounds a row was still active for, so EOS-early
+            # rows don't dilute the measurement)
             self.last_spec_rounds = int(rounds)
             self.spec_total_rounds += int(rounds)
-            self.spec_total_row_rounds += int(rounds) * b
+            self.spec_total_row_rounds += int(row_rounds)
             self.spec_total_tokens += int(np.asarray(res[1]).sum())
         else:
             out, lengths = res
@@ -231,7 +232,7 @@ class Generator:
         row = P(dp, None) if dp else P()
         vec = P(dp) if dp else P()
         outs = (row, vec) if self.speculative_draft == 0 \
-            else (row, vec, P())  # + replicated rounds counter
+            else (row, vec, P(), P())  # + replicated round counters
         fn = shard_map(run, mesh=self.tp_mesh,
                        in_specs=(pspecs, row, row, row, vec, vec, P()),
                        out_specs=outs, check_vma=False)
@@ -390,11 +391,17 @@ class Generator:
             n0 = jnp.zeros((batch,), jnp.int32)
 
             def cond(state):
-                r, _, _, _, _, _, done, _ = state
+                r, _, _, _, _, _, done, _, _ = state
                 return (r < max_new) & jnp.logical_not(jnp.all(done))
 
             def body(state):
-                r, out, prev, cur, n, cache, done, key = state
+                r, out, prev, cur, n, cache, done, key, rr = state
+                # per-row active rounds: rows finished early (EOS) stop
+                # accruing, so tokens/row_rounds - 1 is the true mean
+                # acceptance (charging every row the batch-max round
+                # count biased the reported acceptance low on skewed
+                # answer lengths)
+                rr = rr + jnp.sum(jnp.logical_not(done).astype(jnp.int32))
                 # ---- draft: continue the last (prev, cur) bigram match
                 m = ((input_ids[:, :-1] == prev[:, None]) &
                      (input_ids[:, 1:] == cur[:, None]) &
@@ -465,18 +472,21 @@ class Generator:
                     nxt = sample_excluding(ks, logits_last, excl,
                                            temperature, top_p)
                 cur = jnp.where(done, eos, nxt)
-                return r + 1, out, prev, cur, n, cache, done, key
+                return r + 1, out, prev, cur, n, cache, done, key, rr
 
-            state = (jnp.int32(0), out0, prev0, cur0, n0, cache, done0, key)
-            rounds, out, _, _, lengths, _, _, _ = jax.lax.while_loop(
-                cond, body, state)
-            # observability: emitted-tokens / rounds - 1 = mean accepted
-            # drafts per round on THIS workload (the real speculation
-            # speedup factor; bench quotes the full-acceptance ceiling).
-            # Under data parallelism groups may stop at different rounds;
-            # report the max so the counter is replicated.
+            state = (jnp.int32(0), out0, prev0, cur0, n0, cache, done0, key,
+                     jnp.int32(0))
+            rounds, out, _, _, lengths, _, _, _, row_rounds = \
+                jax.lax.while_loop(cond, body, state)
+            # observability: emitted-tokens / row_rounds - 1 = mean
+            # accepted drafts per round on THIS workload (the real
+            # speculation speedup factor; bench quotes the
+            # full-acceptance ceiling).  Under data parallelism groups
+            # stop at different rounds: pmax replicates the wall-clock
+            # round count, psum makes row_rounds the global row total.
             if self.dp_axis is not None:
                 rounds = jax.lax.pmax(rounds, self.dp_axis)
-            return out, lengths, rounds
+                row_rounds = jax.lax.psum(row_rounds, self.dp_axis)
+            return out, lengths, rounds, row_rounds
 
         return self._wrap(run)

@@ -52,3 +52,46 @@ def test_orchestrator_resume(tmp_path, monkeypatch):
     k1 = m1[(3, 1)]["answer_match_stats"]["iso"]["ground_truth_match_rate"]
     k2 = m2[(3, 1)]["answer_match_stats"]["iso"]["ground_truth_match_rate"]
     assert k1 == k2
+
+
+def test_partial_pair_crash_does_not_duplicate_rows(tmp_path, monkeypatch):
+    """Crash BETWEEN two pairs' log appends: the next run must not
+    re-append the completed pair's rows (the log would hold the batch
+    twice and every later resume would double-count it in ACC/ASR)."""
+    import tests.test_pipeline_e2e as e2e
+    from sdag_tpu.pipeline import orchestrator
+
+    corpus_path, csv_path = e2e._write_inputs(tmp_path)
+    cfg = e2e._base_config(tmp_path, corpus_path, csv_path)
+    cfg.TOP_K = [3, 3]
+    cfg.ADD_ATTACK_IN_RANK = [1, 2]   # two pairs
+    cfg.RESUME_LOGS = True
+
+    # run 1: crash after the FIRST pair's rows are logged
+    real = orchestrator.run_pair_malicious_doc_attack_for_batch
+    state = {"calls": 0}
+
+    def crashing(**kw):
+        rows = real(**kw)
+        state["calls"] += 1
+        if state["calls"] == 1:
+            # let the orchestrator append pair 1's rows, then die before
+            # pair 2 by raising on ITS computation
+            return rows
+        raise RuntimeError("simulated crash before second pair logged")
+
+    monkeypatch.setattr(orchestrator,
+                        "run_pair_malicious_doc_attack_for_batch", crashing)
+    try:
+        orchestrator.run_experiment(cfg)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(orchestrator,
+                        "run_pair_malicious_doc_attack_for_batch", real)
+
+    # run 2 completes; run 3 resumes everything — row counts must be exact
+    m2 = orchestrator.run_experiment(cfg)
+    m3 = orchestrator.run_experiment(cfg)
+    for key in ((3, 1), (3, 2)):
+        assert m2[key]["num_queries"] == 2, m2[key]["num_queries"]
+        assert m3[key]["num_queries"] == 2, m3[key]["num_queries"]
