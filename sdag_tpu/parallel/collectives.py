@@ -22,6 +22,27 @@ from sdag_tpu.ops.topk import (approx_topk_matmul_int8,
                                rescored_topk_int8, topk_search)
 
 
+def _gather_merge(vals, idx, row0, k: int, axis: str, hit=None):
+    """The ONE sentinel/all-gather/merge convention every sharded engine
+    shares: map per-shard (vals, idx) to global candidates (real slots
+    keep their score, empty slots become (-inf, INT_MAX)), all-gather
+    along the candidate axis, merge (score desc, global index asc), and
+    map still-empty slots to -1.  Changing the convention here changes
+    all engines in lockstep (CLAUDE.md BM25 invariant).
+
+    hit: bool [Q, k] marking real candidates; default idx >= 0 (the
+    dense/postings contract); the scan engine passes vals > 0 (docs with
+    no query-term match score 0 there)."""
+    if hit is None:
+        hit = idx >= 0
+    gvals = jnp.where(hit, vals, -jnp.inf)
+    gidx = jnp.where(hit, idx + row0, jnp.iinfo(jnp.int32).max)
+    vals_all = jax.lax.all_gather(gvals, axis, axis=1, tiled=True)
+    gidx_all = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
+    mv, mi = merge_topk(vals_all, gidx_all, k)
+    return mv, jnp.where(jnp.isneginf(mv), -1, mi)
+
+
 def sharded_topk_search(queries: jax.Array, corpus: jax.Array, k: int,
                         valid_n: int, mesh: Mesh, axis: str = "index",
                         use_pallas: bool | None = None,
@@ -39,17 +60,18 @@ def sharded_topk_search(queries: jax.Array, corpus: jax.Array, k: int,
     >=0.99 recall, so the merged result keeps the same recall).
     Returns replicated (scores [Q, k], global indices [Q, k]).
     """
+    if resid is not None and mode != "approx":
+        raise ValueError(
+            "resid/resid_scales require mode='approx': the exact int8 "
+            "kernel scores the base alone, so a silent fall-through "
+            "would return ~0.98-recall results while the caller paid "
+            "HBM for the ~1.0 rescored path")
     n_pad = corpus.shape[0]
     n_shards = mesh.shape[axis]
     shard_rows = n_pad // n_shards
 
     def finish(vals, idx, row0):
-        gidx = jnp.where(idx >= 0, idx + row0, jnp.iinfo(jnp.int32).max)
-        # Gather all shards' candidates along the candidate axis.
-        vals_all = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
-        gidx_all = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
-        mv, mi = merge_topk(vals_all, gidx_all, k)
-        return mv, jnp.where(jnp.isneginf(mv), -1, mi)
+        return _gather_merge(vals, idx, row0, k, axis)
 
     if scales is None:
         def local_search(q, c_shard):
@@ -139,13 +161,7 @@ def sharded_bm25_topk(term_ids: jax.Array, impacts: jax.Array,
         vals, idx = bm25_topk_dispatch(t_shard, i_shard, qt, qw, k,
                                        valid_n=local_valid, block_n=block_n,
                                        use_pallas=use_pallas)
-        hit = vals > 0.0
-        gvals = jnp.where(hit, vals, -jnp.inf)
-        gidx = jnp.where(hit, idx + row0, jnp.iinfo(jnp.int32).max)
-        vals_all = jax.lax.all_gather(gvals, axis, axis=1, tiled=True)
-        gidx_all = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
-        mv, mi = merge_topk(vals_all, gidx_all, k)
-        return mv, jnp.where(jnp.isneginf(mv), -1, mi)
+        return _gather_merge(vals, idx, row0, k, axis, hit=vals > 0.0)
 
     fn = shard_map(local_search, mesh=mesh,
                    in_specs=(P(), P(), P(axis), P(axis)),
@@ -177,12 +193,7 @@ def sharded_bm25_postings_topk(post_docs: jax.Array, post_imps: jax.Array,
                                        k, w_slots=w_slots, window=window)
         shard_id = jax.lax.axis_index(axis)
         row0 = shard_id * rows_per_shard
-        gidx = jnp.where(idx >= 0, idx + row0, jnp.iinfo(jnp.int32).max)
-        gvals = jnp.where(idx >= 0, vals, -jnp.inf)
-        vals_all = jax.lax.all_gather(gvals, axis, axis=1, tiled=True)
-        gidx_all = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
-        mv, mi = merge_topk(vals_all, gidx_all, k)
-        return mv, jnp.where(jnp.isneginf(mv), -1, mi)
+        return _gather_merge(vals, idx, row0, k, axis)
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(), P(), P(axis), P(axis), P(axis)),
@@ -214,12 +225,7 @@ def sharded_bm25_hybrid_topk(post_docs: jax.Array, post_imps: jax.Array,
                                      w_slots=w_slots, window=window)
         shard_id = jax.lax.axis_index(axis)
         row0 = shard_id * rows_per_shard
-        gidx = jnp.where(idx >= 0, idx + row0, jnp.iinfo(jnp.int32).max)
-        gvals = jnp.where(idx >= 0, vals, -jnp.inf)
-        vals_all = jax.lax.all_gather(gvals, axis, axis=1, tiled=True)
-        gidx_all = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
-        mv, mi = merge_topk(vals_all, gidx_all, k)
-        return mv, jnp.where(jnp.isneginf(mv), -1, mi)
+        return _gather_merge(vals, idx, row0, k, axis)
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(), P(), P(), P(axis), P(axis), P(axis),

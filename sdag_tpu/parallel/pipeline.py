@@ -25,9 +25,8 @@ import optax
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from sdag_tpu.models.llama import (DecoderConfig, layer_forward, rms_norm,
-                                   rope)
-from sdag_tpu.ops.attention import sdag_prefill_attention
+from sdag_tpu.models.llama import (DecoderConfig, layer_forward, rms_norm)
+from sdag_tpu.ops.attention import prefill_mask_plan
 from sdag_tpu.parallel.train import TrainState, make_optimizer
 
 
@@ -71,43 +70,13 @@ def shard_stacked_params(stacked: Dict[str, Any], mesh: Mesh,
     return out
 
 
-def _tp_layer_forward(layer, cfg: DecoderConfig, x, positions, doc_id,
-                      nbr_bits, sys_user_len, valid_len, attn_impl: str,
-                      tp_axis: str):
-    """One decoder layer with explicit Megatron collectives, operating on
-    the LOCAL tensor-parallel weight slices (wq/wk/wv/gate/up column-split,
-    wo/down row-split): two ``psum``s per layer over `tp_axis`.  Heads are
-    split across tp_axis, so both n_heads and n_kv_heads must divide it."""
-    B, L, _ = x.shape
-    hd = cfg.head_dim
-    a = layer["attn"]
-    h = rms_norm(x, layer["ln1"], cfg.norm_eps)
-    q = h @ a["wq"]
-    k = h @ a["wk"]
-    v = h @ a["wv"]
-    n_local = q.shape[-1] // hd
-    n_kv_local = k.shape[-1] // hd
-    q = q.reshape(B, L, n_local, hd).transpose(0, 2, 1, 3)
-    k = k.reshape(B, L, n_kv_local, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(B, L, n_kv_local, hd).transpose(0, 2, 1, 3)
-    q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
-    k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
-    attn = sdag_prefill_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
-                                  valid_len=valid_len, impl=attn_impl)
-    attn = attn.transpose(0, 2, 1, 3).reshape(B, L, -1)
-    x = x + jax.lax.psum(attn @ a["wo"], tp_axis)
-    m = layer["mlp"]
-    h2 = rms_norm(x, layer["ln2"], cfg.norm_eps)
-    mlp = (jax.nn.silu(h2 @ m["gate"]) * (h2 @ m["up"])) @ m["down"]
-    return x + jax.lax.psum(mlp, tp_axis)
-
-
 def make_pp_train_step(cfg: DecoderConfig, mesh: Mesh, n_micro: int,
                        optimizer: Optional[
                            optax.GradientTransformation] = None,
                        attn_impl: str = "xla", axis: str = "pipe",
                        tp_axis: Optional[str] = None):
-    """Returns (init_state_fn, step_fn) for pipeline-parallel training.
+    """Returns (init_state_fn, step_fn, loss_fn) for pipeline-parallel
+    training.
 
     init_state_fn takes the *plain* (list-of-layers) param tree and returns
     a TrainState with stage-stacked, pipe-sharded params.
@@ -166,20 +135,36 @@ def make_pp_train_step(cfg: DecoderConfig, mesh: Mesh, n_micro: int,
                 active = data["doc_id"] != -2
                 positions = jnp.maximum(
                     jnp.cumsum(active.astype(jnp.int32), axis=1) - 1, 0)
-                x0 = embed[data["input_ids"]].astype(cfg.dtype)
-                x = jnp.where(stage == 0, x0, h_in)
+                # the [mbsz, L, d_model] embedding gather only feeds
+                # stage 0 — lax.cond keeps the other S-1 stages from
+                # paying its HBM traffic every tick (jnp.where computed
+                # both branches)
+                x = jax.lax.cond(
+                    stage == 0,
+                    lambda: embed[data["input_ids"]].astype(cfg.dtype),
+                    lambda: h_in)
+
+                # layer-invariant mask metadata once per tick, not once
+                # per layer of the stage scan (same hoist as
+                # models/llama.py prefill — XLA does not CSE it)
+                q_spec = jax.ShapeDtypeStruct(
+                    (mbsz, cfg.n_heads, L, cfg.head_dim), cfg.dtype)
+                k_spec = jax.ShapeDtypeStruct(
+                    (mbsz, cfg.n_kv_heads, L, cfg.head_dim), cfg.dtype)
+                plan = prefill_mask_plan(
+                    q_spec, k_spec, data["doc_id"], data["nbr_bits"],
+                    data["sys_user_len"], data["valid_len"],
+                    impl=attn_impl)
 
                 def layer_step(xc, layer):
-                    if tp_axis is not None:
-                        xc = _tp_layer_forward(
-                            layer, cfg, xc, positions, data["doc_id"],
-                            data["nbr_bits"], data["sys_user_len"],
-                            data["valid_len"], attn_impl, tp_axis)
-                    else:
-                        xc, _ = layer_forward(
-                            layer, cfg, xc, positions, data["doc_id"],
-                            data["nbr_bits"], data["sys_user_len"],
-                            data["valid_len"], attn_impl=attn_impl)
+                    # layer_forward handles the tensor-parallel local
+                    # slices natively (head counts inferred from weight
+                    # shapes; wo/down psum'ed over tp_axis)
+                    xc, _ = layer_forward(
+                        layer, cfg, xc, positions, data["doc_id"],
+                        data["nbr_bits"], data["sys_user_len"],
+                        data["valid_len"], attn_impl=attn_impl,
+                        tp_axis=tp_axis, mask_plan=plan)
                     return xc, None
 
                 x, _ = jax.lax.scan(layer_step, x, layers_stage)

@@ -17,8 +17,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sdag_tpu.models.llama import DecoderConfig, prefill
-from sdag_tpu.parallel.sharding import (batch_specs, decoder_param_specs,
-                                        shard_params)
+from sdag_tpu.parallel.sharding import batch_specs, shard_params
 
 
 class TrainState(NamedTuple):
@@ -53,10 +52,11 @@ def make_sharded_train_step(cfg: DecoderConfig, mesh: Mesh,
                             attn_impl: str = "xla"):
     """Returns (init_state_fn, step_fn) pjit-sharded over the mesh."""
     optimizer = optimizer or make_optimizer()
-    pspecs = decoder_param_specs(cfg)
     bspecs = batch_specs()
 
     def init_state(params) -> TrainState:
+        # param shardings are established HERE (shard_params) and then
+        # propagated by jit — the step's in_shardings only pin the batch
         params = shard_params(params, cfg, mesh)
         opt_state = optimizer.init(params)
         return TrainState(params=params, opt_state=opt_state,
@@ -72,8 +72,6 @@ def make_sharded_train_step(cfg: DecoderConfig, mesh: Mesh,
         return TrainState(params, opt_state, state.step + 1), loss
 
     sharded_batch = {k: NamedSharding(mesh, v) for k, v in bspecs.items()}
-    param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
-                            is_leaf=lambda x: isinstance(x, P))
 
     jit_step = jax.jit(
         step_fn,
