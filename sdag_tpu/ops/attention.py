@@ -159,7 +159,11 @@ def compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
             jnp.where(dqb >= 0, jnp.left_shift(1, jnp.clip(dqb, 0, 31)), 0),
             axis=1)
         q_nbr_or = jnp.bitwise_or.reduce(nbrb, axis=1)
-        q_nbr_homo = nbrb[:, 0]
+        # bits set in EVERY row of the block — FULL must hold for all rows,
+        # so an AND-reduce keeps the guarantee exact even if nbr_bits vary
+        # per token within a doc-homogeneous block (row 0 alone would
+        # over-claim FULL and leak cross-document attention)
+        q_nbr_all = jnp.bitwise_and.reduce(nbrb, axis=1)
         qmin_i = qoff + jnp.arange(nq, dtype=jnp.int32) * block_q
         qmax_i = qmin_i + block_q - 1
         q_any_valid = qmin_i < vl
@@ -199,7 +203,7 @@ def compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
         nbr_full = (q_homo_doc[:, None] & k_homo_doc[None, :]
                     & (k_min_d < 32)[None, :]
                     & (jnp.bitwise_and(jax.lax.shift_right_logical(
-                        q_nbr_homo[:, None],
+                        q_nbr_all[:, None],
                         jnp.clip(k_min_d, 0, 31)[None, :]), 1) == 1))
         full = q_all_valid[:, None] & k_all_valid[None, :] & (
             (q_all_nondoc[:, None] & below)
@@ -758,8 +762,10 @@ def _splash_kernel(meta_ref, counts_ref, kvlist_ref, kindlist_ref,
                 j = kv_idx * block_k + jax.lax.broadcasted_iota(
                     jnp.int32, (block_q, block_k), 1)
                 dq = dq_ref[b, :].reshape(block_q, 1)
-                dk = dall_ref[b, pl.ds(kv_idx * block_k, block_k)].reshape(
-                    1, block_k)
+                # dall_ref is pre-tiled [B, nK, block_k] so this dynamic
+                # load sits at lane offset 0 (Mosaic rejects dynamic loads
+                # at non-zero lane offsets — same rule as the kvres kernel)
+                dk = dall_ref[b, kv_idx, :].reshape(1, block_k)
                 nbr_q = nbr_ref[b, :].reshape(block_q, 1)
                 mask = _tile_mask(i, j, dq, dk, nbr_q, sys_user_len,
                                   valid_len)
@@ -837,12 +843,13 @@ def sdag_splash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
             pl.BlockSpec((1, block_q, Dh),
                          lambda bh, qi, *_: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # k stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # v stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # k stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # v stays in HBM
             pl.BlockSpec((B, block_q), lambda bh, qi, *_: (0, qi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, L), lambda bh, qi, *_: (0, 0),
-                         memory_space=pltpu.VMEM),  # full doc_id rows
+            pl.BlockSpec((B, L // block_k, block_k),
+                         lambda bh, qi, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # doc_id, kv-tiled
             pl.BlockSpec((B, block_q), lambda bh, qi, *_: (0, qi),
                          memory_space=pltpu.VMEM),
         ],
@@ -871,8 +878,8 @@ def sdag_splash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(meta, counts, kv_list, kind_list, qf, kf, vf, doc_id, doc_id,
-      nbr_bits)
+    )(meta, counts, kv_list, kind_list, qf, kf, vf, doc_id,
+      doc_id.reshape(B, L // block_k, block_k), nbr_bits)
     return out.reshape(B, H, L, Dh)
 
 
@@ -890,11 +897,17 @@ def _kvres_fits_vmem(k: jax.Array) -> bool:
     return staged * 2.2 <= 14 * 1024 * 1024
 
 
-def _resolve_prefill_impl(q, k, impl: str) -> str:
-    """The dispatcher's impl choice, shared with prefill_mask_plan."""
+def _resolve_prefill_impl(q, k, impl: str, block_q=None,
+                          block_k=None) -> str:
+    """The dispatcher's impl choice, shared with prefill_mask_plan.
+
+    block_q/block_k: caller block-size overrides — the divisibility
+    fallback tests against the actual kernel granularity, so e.g. a
+    64-row context-parallel shard with block_q=64 stays on Pallas."""
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl in ("pallas", "pallas_kvres") and q.shape[2] % 128:
+    if impl in ("pallas", "pallas_kvres") and (
+            q.shape[2] % (block_q or 128) or k.shape[2] % (block_k or 128)):
         impl = "xla"  # unpadded lengths fall back to the dense-mask path
     if impl == "pallas" and _kvres_fits_vmem(k):
         impl = "pallas_kvres"
@@ -919,7 +932,7 @@ def prefill_mask_plan(q, k, doc_id, nbr_bits, sys_user_len, valid_len=None,
     Resolves impl/block sizes exactly like the dispatcher; returns None
     when the resolved path is XLA (the reference builds its own mask).
     """
-    impl = _resolve_prefill_impl(q, k, impl)
+    impl = _resolve_prefill_impl(q, k, impl, block_q, block_k)
     if impl == "xla":
         return None
     Lq, L = q.shape[2], k.shape[2]
@@ -970,13 +983,22 @@ def sdag_prefill_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
     if plan is not None:
         impl = plan["impl"]
         use_mask_tiles = plan["use_mask_tiles"]
-        kw.setdefault("block_q", plan["block_q"])
-        kw.setdefault("block_k", plan["block_k"])
+        # the plan's kinds/tiles are derived for the plan's block sizes —
+        # a caller override would make the kernel index kinds_smem out of
+        # bounds and silently mis-kind live tiles, so reject it loudly
+        # (mask_tiles already get a shape check inside the kernel wrapper)
+        for name in ("block_q", "block_k"):
+            if kw.setdefault(name, plan[name]) != plan[name]:
+                raise ValueError(
+                    f"{name}={kw[name]} conflicts with mask_plan's "
+                    f"{plan[name]} — rebuild the plan with prefill_mask_plan"
+                    f"({name}=...) instead of overriding it per call")
         kw.setdefault("kinds", plan["kinds"])
         if use_mask_tiles:
             kw.setdefault("mask_tiles", plan["mask_tiles"])
     else:
-        impl = _resolve_prefill_impl(q, k, impl)
+        impl = _resolve_prefill_impl(q, k, impl, kw.get("block_q"),
+                                     kw.get("block_k"))
     if impl == "pallas_kvres":
         return sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits,
                                           sys_user_len, valid_len=valid_len,

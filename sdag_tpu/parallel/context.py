@@ -18,14 +18,13 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from sdag_tpu.ops.attention import (DEFAULT_MASK_VALUE, _tile_mask,
-                                    sdag_attention_reference,
-                                    sdag_flash_attention)
+                                    sdag_prefill_attention)
 
 
 def context_parallel_prefill_attention(
     q, k, v, doc_id, nbr_bits, sys_user_len, valid_len, mesh: Mesh,
     axis: str = "model", impl: str = "auto",
-    block_q: int = 128, block_k: int = 128,
+    block_q=None, block_k=None,
     kv_exchange: str = "all_gather",
 ):
     """SDAG prefill attention with the sequence axis sharded over `axis`.
@@ -59,8 +58,6 @@ def context_parallel_prefill_attention(
     if L % n:
         raise ValueError(f"L={L} must divide the {axis} axis size {n}")
     shard_len = L // n
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     def local(q_s, k_s, v_s, did_s, nbr_s, sul, vl):
         idx = jax.lax.axis_index(axis)
@@ -70,16 +67,21 @@ def context_parallel_prefill_attention(
         v_full = jax.lax.all_gather(v_s, axis, axis=2, tiled=True)
         did_full = jax.lax.all_gather(did_s, axis, axis=1, tiled=True)
         nbr_full = jax.lax.all_gather(nbr_s, axis, axis=1, tiled=True)
-        if impl == "pallas":
-            return sdag_flash_attention(
-                q_s, k_full, v_full, did_full, nbr_full, sul, vl,
-                block_q=block_q, block_k=block_k,
-                doc_id_q=did_s, nbr_bits_q=nbr_s,
-                q_offset=jnp.full((q_s.shape[0],), offset, jnp.int32),
-                interpret=jax.default_backend() != "tpu")
-        return sdag_attention_reference(
-            q_s, k_full, v_full, did_full, nbr_full, sul, vl,
-            q_offset=offset, doc_id_q=did_s, nbr_bits_q=nbr_s)
+        # reuse the production dispatcher on the local shard — one impl
+        # resolution (incl. the divisibility fallback and the kvres
+        # schedule) instead of a drifting inline copy; it forwards the
+        # CP kwargs (q_offset/doc_id_q/nbr_bits_q) to every path and
+        # drops kernel knobs on the XLA fallback
+        kernel_kw = {}
+        if block_q is not None:
+            kernel_kw["block_q"] = block_q
+        if block_k is not None:
+            kernel_kw["block_k"] = block_k
+        return sdag_prefill_attention(
+            q_s, k_full, v_full, did_full, nbr_full, sul, vl, impl=impl,
+            doc_id_q=did_s, nbr_bits_q=nbr_s,
+            q_offset=jnp.full((q_s.shape[0],), offset, jnp.int32),
+            interpret=jax.default_backend() != "tpu", **kernel_kw)
 
     fn = shard_map(
         local, mesh=mesh,
@@ -163,8 +165,7 @@ def ring_prefill_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
         acc0 = jnp.zeros((B, hkv, rep, Ls, Dh), jnp.float32)
         perm = [(d, (d + 1) % n) for d in range(n)]
 
-        def body(s, carry):
-            k_c, v_c, did_c, m, l, acc = carry
+        def fold(s, k_c, v_c, did_c, m, l, acc):
             src = (idx - s) % n
             j = src * shard_len + j_local
             col_k = src * shard_len + jnp.arange(shard_len, dtype=jnp.int32)
@@ -202,15 +203,23 @@ def ring_prefill_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                     "bgrlj,bgjd->bgrld", p, v_c.astype(jnp.float32))
                 return m_new, l_new, acc_new
 
-            m, l, acc = jax.lax.cond(needed, compute, lambda mla: mla,
-                                     (m, l, acc))
+            return jax.lax.cond(needed, compute, lambda mla: mla,
+                                (m, l, acc))
+
+        def body(s, carry):
+            k_c, v_c, did_c, m, l, acc = carry
+            m, l, acc = fold(s, k_c, v_c, did_c, m, l, acc)
             k_c = jax.lax.ppermute(k_c, axis, perm)
             v_c = jax.lax.ppermute(v_c, axis, perm)
             did_c = jax.lax.ppermute(did_c, axis, perm)
             return k_c, v_c, did_c, m, l, acc
 
-        _, _, _, _, l, acc = jax.lax.fori_loop(
-            0, n, body, (k_s, v_s, did_s, m0, l0, acc0))
+        # only n-1 rotations are needed: the last chunk is folded outside
+        # the loop so its three ppermutes (pure discarded ICI traffic,
+        # ~1/n of the ring's exchange volume) never run
+        k_c, v_c, did_c, m, l, acc = jax.lax.fori_loop(
+            0, n - 1, body, (k_s, v_s, did_s, m0, l0, acc0))
+        _, l, acc = fold(n - 1, k_c, v_c, did_c, m, l, acc)
         out = acc / jnp.maximum(l, 1e-30)[..., None]
         return out.reshape(B, H, Ls, Dh).astype(q_s.dtype)
 

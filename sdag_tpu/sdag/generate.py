@@ -108,7 +108,9 @@ class Generator:
         self._key = jax.random.PRNGKey(seed)
         self._compiled: Dict[Tuple[int, int, int], object] = {}
         # speculative observability: verification rounds of the last call
-        # (mean accepted drafts per round = sum(lengths)/rounds/b - 1)
+        # (acceptance comes from the cumulative per-row counters below —
+        # tokens/row_rounds - 1 — which, unlike a rounds*batch estimate,
+        # is unbiased under skewed answer lengths)
         self.last_spec_rounds = 0
         # cumulative across calls (experiment-level acceptance reporting:
         # tokens / row_rounds - 1 = measured accepted drafts per round)

@@ -335,3 +335,64 @@ def test_xla_fallback_forwards_cp_metadata():
     np.testing.assert_allclose(np.asarray(sliced),
                                np.asarray(full)[:, :, off:off + Lq],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_block_kinds_per_token_nbr_bits_not_full():
+    """FULL must hold for EVERY row of a tile: if nbr_bits vary per token
+    within a doc-homogeneous q block (legal for _tile_mask, which reads
+    nbr per row), a row-0-only summary would over-claim FULL and leak
+    cross-document attention.  The classifier AND-reduces the block's
+    bits, so this tile must stay PARTIAL, and the kernel must match the
+    dense reference row-for-row."""
+    from sdag_tpu.ops.attention import sdag_flash_attention_kvres
+
+    L, bq, bk = 128, 64, 64
+    doc_id = np.concatenate([np.zeros(64, np.int32),
+                             np.ones(64, np.int32)])
+    bits = np.zeros(L, np.int32)
+    bits[64] = 1          # ONLY the first row of doc-1's block sees doc 0
+    kinds = np.asarray(compute_block_kinds(
+        jnp.asarray(doc_id[None]), jnp.asarray(bits[None]),
+        jnp.asarray([0]), jnp.asarray([L]), bq, bk))[0]
+    assert kinds[1, 0] == BLOCK_PARTIAL  # not FULL: rows 65.. see nothing
+
+    rng = np.random.default_rng(7)
+    B, H, Dh = 1, 2, 32
+    q = jnp.asarray(rng.standard_normal((B, H, L, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, L, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, L, Dh)), jnp.float32)
+    args = (q, k, v, jnp.asarray(doc_id[None]), jnp.asarray(bits[None]),
+            jnp.array([0]), jnp.array([L]))
+    ref = np.asarray(sdag_attention_reference(*args))
+    out = np.asarray(sdag_flash_attention(*args, block_q=bq, block_k=bk,
+                                          interpret=True))
+    np.testing.assert_allclose(out, ref, atol=3e-2)
+    out2 = np.asarray(sdag_flash_attention_kvres(
+        *args, block_q=bq, block_k=bk, interpret=True))
+    np.testing.assert_allclose(out2, ref, atol=3e-2)
+
+
+def test_prefill_plan_block_override_rejected():
+    """A mask_plan's kinds/tiles are derived for the plan's block sizes;
+    a conflicting per-call override would index kinds out of bounds in
+    SMEM and silently mis-kind live tiles, so the dispatcher rejects it."""
+    from sdag_tpu.ops.attention import (prefill_mask_plan,
+                                        sdag_prefill_attention)
+
+    rng = np.random.default_rng(3)
+    B, H, L, Dh = 1, 2, 256, 32
+    layout = BlockLayout(230, 40, ((40, 80), (85, 130), (132, 180)), 185)
+    doc_id, bits, sul = layout_to_metadata(layout,
+                                           doc_neighbors=[[1], [], [0]],
+                                           pad_to=L)
+    q = jnp.asarray(rng.standard_normal((B, H, L, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, L, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, L, Dh)), jnp.float32)
+    plan = prefill_mask_plan(q, k, jnp.asarray(doc_id[None]),
+                             jnp.asarray(bits[None]), jnp.array([sul]),
+                             impl="pallas", block_q=128, block_k=128)
+    assert plan is not None and plan["block_q"] == 128
+    with pytest.raises(ValueError, match="conflicts with mask_plan"):
+        sdag_prefill_attention(
+            q, k, v, jnp.asarray(doc_id[None]), jnp.asarray(bits[None]),
+            jnp.array([sul]), mask_plan=plan, block_q=64, interpret=True)
