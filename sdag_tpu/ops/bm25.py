@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sdag_tpu.ops.topk import NEG_INF, _INT_MAX, _select_next
+from sdag_tpu.ops.topk import NEG_INF, _INT_MAX, _merge_topk_tile
 
 PAD_TERM = -1
 
@@ -86,27 +86,7 @@ def _bm25_topk_kernel(valid_ref, qt_ref, qw_ref, terms_ref, impacts_ref,
 
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     gcol = col + j * block_n
-    scores = jnp.where(gcol < valid_n, scores, NEG_INF)
-
-    cv = jnp.concatenate([vals_scratch[:], scores], axis=1)
-    ci = jnp.concatenate([idx_scratch[:], gcol], axis=1)
-    new_vals, new_idx = [], []
-    for _ in range(k):
-        m, sel, chosen = _select_next(cv, ci)
-        new_vals.append(m)
-        new_idx.append(sel)
-        cv = jnp.where(chosen, NEG_INF, cv)
-        ci = jnp.where(chosen, _INT_MAX, ci)
-    pad = vals_scratch.shape[1] - k
-    vals_row = jnp.concatenate(new_vals, axis=1)
-    idx_row = jnp.concatenate(new_idx, axis=1)
-    if pad:
-        vals_row = jnp.concatenate(
-            [vals_row, jnp.full((qp, pad), NEG_INF, jnp.float32)], axis=1)
-        idx_row = jnp.concatenate(
-            [idx_row, jnp.full((qp, pad), _INT_MAX, jnp.int32)], axis=1)
-    vals_scratch[:] = vals_row
-    idx_scratch[:] = idx_row
+    _merge_topk_tile(scores, gcol, valid_n, vals_scratch, idx_scratch, k)
 
     @pl.when(j == num_tiles - 1)
     def _flush():
@@ -196,6 +176,9 @@ def bm25_topk_dispatch(term_ids, impacts, q_terms, q_weights, k,
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(col < valid_n, scores, NEG_INF)
     vals, idx = jax.lax.top_k(scores, k)
+    # k > valid_n: -inf (masked/padded) slots report -1, matching the
+    # Pallas kernel's flush and the postings engine's contract
+    idx = jnp.where(jnp.isneginf(vals), -1, idx)
     return vals, idx.astype(jnp.int32)
 
 

@@ -54,6 +54,47 @@ def _select_next(vals: jax.Array, gidx: jax.Array):
     return m, sel, chosen
 
 
+def _merge_topk_tile(scores, gcol, valid_n, vals_scratch, idx_scratch,
+                     k: int):
+    """Fold one [Qp, block_n] score tile into the running top-k scratch
+    (descending, ties to the smaller global index).  Shared by the f32 and
+    int8 dense kernels and the BM25 scan kernel — the engines' merge rule
+    stays in lockstep by construction.
+
+    Masked/padded columns (gcol >= valid_n) carry _INT_MAX indices so
+    that when k exceeds the valid rows the flush converts them to -1
+    (the documented contract, matching exact_topk_xla/approx paths)
+    instead of leaking real padded-row ids into retrieval."""
+    invalid = gcol >= valid_n
+    scores = jnp.where(invalid, NEG_INF, scores)
+    gcol = jnp.where(invalid, _INT_MAX, gcol)
+
+    cv = jnp.concatenate([vals_scratch[:], scores], axis=1)
+    ci = jnp.concatenate([idx_scratch[:], gcol], axis=1)
+
+    # k is static and small: unroll selection in Python so every scratch
+    # column store has a static lane index.
+    new_vals, new_idx = [], []
+    for _ in range(k):
+        m, sel, chosen = _select_next(cv, ci)
+        new_vals.append(m)
+        new_idx.append(sel)
+        cv = jnp.where(chosen, NEG_INF, cv)
+        ci = jnp.where(chosen, _INT_MAX, ci)
+
+    qp, k_pad = vals_scratch.shape
+    pad = k_pad - k
+    vals_row = jnp.concatenate(new_vals, axis=1)
+    idx_row = jnp.concatenate(new_idx, axis=1)
+    if pad:
+        vals_row = jnp.concatenate(
+            [vals_row, jnp.full((qp, pad), NEG_INF, jnp.float32)], axis=1)
+        idx_row = jnp.concatenate(
+            [idx_row, jnp.full((qp, pad), _INT_MAX, jnp.int32)], axis=1)
+    vals_scratch[:] = vals_row
+    idx_scratch[:] = idx_row
+
+
 def _topk_kernel(valid_ref, q_ref, c_ref, out_vals_ref, out_idx_ref,
                  vals_scratch, idx_scratch, *, k: int, block_n: int):
     """Grid: (num_n_tiles,).  q_ref: [Qp, D] (resident); c_ref: [block_n, D]
@@ -77,34 +118,7 @@ def _topk_kernel(valid_ref, q_ref, c_ref, out_vals_ref, out_idx_ref,
     )
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     gcol = col + j * block_n
-    scores = jnp.where(gcol < valid_n, scores, NEG_INF)
-
-    cv = jnp.concatenate([vals_scratch[:], scores], axis=1)
-    ci = jnp.concatenate([idx_scratch[:], gcol], axis=1)
-
-    # k is static and small: unroll selection in Python so every scratch
-    # column store has a static lane index.
-    new_vals = []
-    new_idx = []
-    for _ in range(k):
-        m, sel, chosen = _select_next(cv, ci)
-        new_vals.append(m)
-        new_idx.append(sel)
-        cv = jnp.where(chosen, NEG_INF, cv)
-        ci = jnp.where(chosen, _INT_MAX, ci)
-
-    k_pad = vals_scratch.shape[1]
-    pad = k_pad - k
-    vals_row = jnp.concatenate(new_vals, axis=1)
-    idx_row = jnp.concatenate(new_idx, axis=1)
-    if pad:
-        qp = vals_row.shape[0]
-        vals_row = jnp.concatenate(
-            [vals_row, jnp.full((qp, pad), NEG_INF, jnp.float32)], axis=1)
-        idx_row = jnp.concatenate(
-            [idx_row, jnp.full((qp, pad), _INT_MAX, jnp.int32)], axis=1)
-    vals_scratch[:] = vals_row
-    idx_scratch[:] = idx_row
+    _merge_topk_tile(scores, gcol, valid_n, vals_scratch, idx_scratch, k)
 
     @pl.when(j == num_tiles - 1)
     def _flush():
@@ -250,28 +264,7 @@ def _topk_kernel_int8(valid_ref, q_ref, qs_ref, c_ref, scale_ref,
     ).astype(jnp.float32) * qs_ref[:] * scale_ref[0, :][None, :]
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     gcol = col + j * block_n
-    scores = jnp.where(gcol < valid_n, scores, NEG_INF)
-
-    cv = jnp.concatenate([vals_scratch[:], scores], axis=1)
-    ci = jnp.concatenate([idx_scratch[:], gcol], axis=1)
-    new_vals, new_idx = [], []
-    for _ in range(k):
-        m, sel, chosen = _select_next(cv, ci)
-        new_vals.append(m)
-        new_idx.append(sel)
-        cv = jnp.where(chosen, NEG_INF, cv)
-        ci = jnp.where(chosen, _INT_MAX, ci)
-    qp, k_pad = vals_scratch.shape
-    pad = k_pad - k
-    vals_row = jnp.concatenate(new_vals, axis=1)
-    idx_row = jnp.concatenate(new_idx, axis=1)
-    if pad:
-        vals_row = jnp.concatenate(
-            [vals_row, jnp.full((qp, pad), NEG_INF, jnp.float32)], axis=1)
-        idx_row = jnp.concatenate(
-            [idx_row, jnp.full((qp, pad), _INT_MAX, jnp.int32)], axis=1)
-    vals_scratch[:] = vals_row
-    idx_scratch[:] = idx_row
+    _merge_topk_tile(scores, gcol, valid_n, vals_scratch, idx_scratch, k)
 
     @pl.when(j == num_tiles - 1)
     def _flush():

@@ -403,3 +403,27 @@ def test_from_texts_native_matches_token_path():
     ib, sb = b.search(queries, top_k=5)
     np.testing.assert_array_equal(ia, ib)
     np.testing.assert_allclose(sa, sb, rtol=1e-6)
+
+
+def test_scan_engines_k_exceeds_valid_n_reports_minus1():
+    """Contract pin (kernel audit): both scan paths (Pallas kernel and the
+    XLA fallback) must report -1 doc ids for -inf slots when k exceeds
+    valid_n, in lockstep with the postings engine — not the real ids of
+    masked (padded-shard) docs."""
+    from sdag_tpu.ops.bm25 import bm25_topk, bm25_topk_dispatch
+    rng = np.random.default_rng(3)
+    n, lp, t, v = 8, 4, 3, 10
+    term_ids = rng.integers(0, v, size=(n, lp)).astype(np.int32)
+    impacts = (rng.random((n, lp)) + 0.1).astype(np.float32)
+    q_terms = term_ids[:1, :3].copy()     # guaranteed matches in rows 0..1
+    q_weights = np.ones_like(q_terms, np.float32)
+    args = (jnp.asarray(term_ids), jnp.asarray(impacts),
+            jnp.asarray(q_terms), jnp.asarray(q_weights))
+    for name, (vals, idx) in {
+        "pallas": bm25_topk(*args, k=4, valid_n=2, interpret=True),
+        "xla": bm25_topk_dispatch(*args, 4, valid_n=2, use_pallas=False),
+    }.items():
+        idx, vals = np.asarray(idx), np.asarray(vals)
+        assert set(idx[0, :2]) == {0, 1}, name
+        np.testing.assert_array_equal(idx[:, 2:], -1, err_msg=name)
+        assert np.all(np.isneginf(vals[:, 2:])), name

@@ -335,3 +335,26 @@ def test_int8_index_recall_and_roundtrip(tmp_path):
     idx2, _ = index2.search(qe, top_k=5)
     overlap = np.mean([len(set(idx[r]) & set(idx2[r])) / 5 for r in range(10)])
     assert overlap >= 0.8
+
+
+def test_fused_topk_k_exceeds_valid_rows_reports_minus1():
+    """Contract pin (kernel audit): when k > valid_n the fused kernels
+    must report -1 indices for the -inf slots — leaking the real ids of
+    masked/padded rows would feed garbage documents to retrieval.  All
+    engines (exact / fused f32 / fused int8) agree slot-for-slot."""
+    from sdag_tpu.ops.topk import fused_topk_matmul_int8, quantize_rows_int8
+    qe, ce = _rand(2, 64, 32, seed=14)
+    v_ref, i_ref = exact_topk_xla(jnp.array(qe), jnp.array(ce), 8, valid_n=4)
+    v, i = fused_topk_matmul(jnp.array(qe), jnp.array(ce), 8, block_n=32,
+                             valid_n=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_array_equal(np.asarray(i)[:, 4:], -1)
+    assert np.all(np.isneginf(np.asarray(v)[:, 4:]))
+
+    ci8, sc = quantize_rows_int8(ce)
+    v8, i8 = fused_topk_matmul_int8(jnp.asarray(qe), jnp.asarray(ci8),
+                                    jnp.asarray(sc), 8, block_n=32,
+                                    valid_n=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i8)[:, 4:], -1)
+    assert np.all(np.isneginf(np.asarray(v8)[:, 4:]))
+    assert set(np.asarray(i8)[0, :4]) <= set(range(4))
