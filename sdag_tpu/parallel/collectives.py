@@ -60,12 +60,21 @@ def sharded_topk_search(queries: jax.Array, corpus: jax.Array, k: int,
     >=0.99 recall, so the merged result keeps the same recall).
     Returns replicated (scores [Q, k], global indices [Q, k]).
     """
-    if resid is not None and mode != "approx":
-        raise ValueError(
-            "resid/resid_scales require mode='approx': the exact int8 "
-            "kernel scores the base alone, so a silent fall-through "
-            "would return ~0.98-recall results while the caller paid "
-            "HBM for the ~1.0 rescored path")
+    if resid is not None or resid_scales is not None:
+        # guard every incomplete combination, not just mode: resid with
+        # scales=None would fall into the f32 branch below and silently
+        # drop the residuals the caller paid HBM for
+        if mode != "approx":
+            raise ValueError(
+                "resid/resid_scales require mode='approx': the exact int8 "
+                "kernel scores the base alone, so a silent fall-through "
+                "would return ~0.98-recall results while the caller paid "
+                "HBM for the ~1.0 rescored path")
+        if scales is None or resid is None or resid_scales is None:
+            raise ValueError(
+                "the rescored path needs ALL of scales/resid/resid_scales "
+                "(int8 base + int8 residual, per-row scales); a partial "
+                "set would silently score the base alone")
     n_pad = corpus.shape[0]
     n_shards = mesh.shape[axis]
     shard_rows = n_pad // n_shards

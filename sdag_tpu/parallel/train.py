@@ -46,6 +46,19 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01
     return optax.adamw(lr, weight_decay=weight_decay)
 
 
+def _make_init_state(cfg: DecoderConfig, mesh: Mesh,
+                     optimizer: optax.GradientTransformation):
+    """Shared init for both train-step factories: param shardings are
+    established HERE (shard_params) and then propagated by jit — the
+    steps' in_shardings only pin the batch."""
+    def init_state(params) -> TrainState:
+        params = shard_params(params, cfg, mesh)
+        opt_state = optimizer.init(params)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=jnp.zeros((), jnp.int32))
+    return init_state
+
+
 def make_sharded_train_step(cfg: DecoderConfig, mesh: Mesh,
                             optimizer: Optional[
                                 optax.GradientTransformation] = None,
@@ -54,13 +67,7 @@ def make_sharded_train_step(cfg: DecoderConfig, mesh: Mesh,
     optimizer = optimizer or make_optimizer()
     bspecs = batch_specs()
 
-    def init_state(params) -> TrainState:
-        # param shardings are established HERE (shard_params) and then
-        # propagated by jit — the step's in_shardings only pin the batch
-        params = shard_params(params, cfg, mesh)
-        opt_state = optimizer.init(params)
-        return TrainState(params=params, opt_state=opt_state,
-                          step=jnp.zeros((), jnp.int32))
+    init_state = _make_init_state(cfg, mesh, optimizer)
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array]
                 ) -> Tuple[TrainState, jax.Array]:
@@ -101,11 +108,7 @@ def make_sharded_train_scan(cfg: DecoderConfig, mesh: Mesh,
     uploads ~4x fewer bytes."""
     optimizer = optimizer or make_optimizer()
 
-    def init_state(params) -> TrainState:
-        params = shard_params(params, cfg, mesh)
-        opt_state = optimizer.init(params)
-        return TrainState(params=params, opt_state=opt_state,
-                          step=jnp.zeros((), jnp.int32))
+    init_state = _make_init_state(cfg, mesh, optimizer)
 
     def one_step(state: TrainState, batch):
         if preprocess is not None:

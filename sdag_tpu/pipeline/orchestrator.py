@@ -224,10 +224,12 @@ def run_pair_malicious_doc_attack_for_batch(
     # SDAG.py builds its own span layout), so under greedy decoding with a
     # deterministic injection position every shuffle's ISO answers are
     # byte-identical — generate once instead of paying the dominant
-    # prefill+decode phase NUM_RANDOM_SHUFFLES times.  pos=-1 (random
-    # injection) and T>0 (sampling) keep the per-shuffle rerun.
+    # prefill+decode phase NUM_RANDOM_SHUFFLES times.  Only ORACLE runs
+    # ever pass the real attacker_pos to the ISO side (non-ORACLE calls
+    # below use pos=0), so pos=-1 (random injection) disables the hoist
+    # only there; T>0 (sampling) always keeps the per-shuffle rerun.
     iso_invariant = (n_shuffles > 1 and cfg.TEMPERATURE == 0
-                     and pair.attacker_pos != -1)
+                     and (not cfg.ORACLE or pair.attacker_pos != -1))
     answers_iso: Optional[List[str]] = None
     for _shuffle in range(n_shuffles):
         if answers_iso is None or not iso_invariant:
@@ -413,7 +415,8 @@ def run_experiment(cfg: Config,
             # a per-batch rng stream (not one run-long stream) makes a
             # resumed run draw exactly what the uninterrupted run would
             # have for every fresh batch — skipped batches consume no
-            # state the remaining batches depend on
+            # state the remaining batches depend on (the pair loop below
+            # re-seeds per (batch, pair) for the same reason)
             rng = random.Random(cfg.SEED * 1_000_003 + batch_idx)
             if resume_logs and all(
                     log.is_done(batch_idx) for log in resume_logs.values()):
@@ -461,6 +464,13 @@ def run_experiment(cfg: Config,
                     results_per_pair[key].extend(
                         resume_logs[key].rows_for(batch_idx))
                     continue
+                # per-(batch, pair) rng: a resume that skips a completed
+                # pair must not shift the draws of the remaining pairs
+                # (a shared stream would make pair B's shuffle/injection
+                # positions depend on whether pair A was recomputed)
+                pair_rng = random.Random(
+                    f"{cfg.SEED}:{batch_idx}:{pair.top_k}:"
+                    f"{pair.attacker_pos}")
                 if cfg.ATTACK_VARIANT == "malicious_doc":
                     rows = run_pair_malicious_doc_attack_for_batch(
                         cfg=cfg, res=res, defense=defense,
@@ -471,14 +481,15 @@ def run_experiment(cfg: Config,
                         retrieval_ids_full=retrieval.ids_full,
                         retrieval_scores_full=retrieval.scores_full,
                         false_groups_batch=false_groups,
-                        chosen_mals_batch=chosen_mals, rng=rng, timer=timer)
+                        chosen_mals_batch=chosen_mals, rng=pair_rng,
+                        timer=timer)
                 else:
                     rows = run_pair_doc_corruption_for_batch(
                         cfg=cfg, res=res, pair=pair, batch_qids=batch_qids,
                         batch_qs=batch_qs, batch_gts=batch_gts,
                         retrieval_docs_full=retrieval.docs_texts_full,
                         retrieval_ids_full=retrieval.ids_full,
-                        false_groups_batch=false_groups, rng=rng,
+                        false_groups_batch=false_groups, rng=pair_rng,
                         timer=timer)
                 results_per_pair[key].extend(rows)
                 if resume_logs:

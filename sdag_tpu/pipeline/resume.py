@@ -16,13 +16,19 @@ from typing import Any, Dict, List, Set
 
 class BatchResultLog:
     """Append-only JSONL: row lines ``{"batch": i, "row": {...}}`` and
-    completion markers ``{"batch": i, "done": true}``.  Rows of batches
-    without a done marker (crash mid-batch) are discarded on load."""
+    completion markers ``{"batch": i, "done": true, "n": <rows>}``.  Rows
+    of batches without a done marker (crash mid-batch) are discarded on
+    load; a crash *inside* append_batch can also leave orphan row lines
+    that a later rerun re-appends in full, so the marker records the row
+    count and only the LAST n rows before it count (otherwise a resumed
+    run would merge orphans with the re-appended rows and double-count
+    that batch's ACC/ASR rows)."""
 
     def __init__(self, path: str) -> None:
         self.path = path
         self._rows_by_batch: Dict[int, List[Dict[str, Any]]] = {}
         self._done: Set[int] = set()
+        self._n_rows: Dict[int, int] = {}
         if os.path.exists(path):
             with open(path, "r", encoding="utf-8") as f:
                 for line in f:
@@ -36,9 +42,15 @@ class BatchResultLog:
                     b = int(obj.get("batch", -1))
                     if obj.get("done"):
                         self._done.add(b)
+                        if "n" in obj:  # absent in pre-fix logs: keep all
+                            self._n_rows[b] = int(obj["n"])
                     elif "row" in obj:
                         self._rows_by_batch.setdefault(b, []).append(
                             obj["row"])
+            for b, n in self._n_rows.items():
+                rows = self._rows_by_batch.get(b, [])
+                if len(rows) > n:  # orphans from a crashed earlier attempt
+                    self._rows_by_batch[b] = rows[-n:]
             if self._done:
                 print(f"[resume] {path}: {len(self._done)} completed "
                       "batches found")
@@ -60,7 +72,8 @@ class BatchResultLog:
             for r in rows:
                 f.write(json.dumps({"batch": batch_idx, "row": r},
                                    ensure_ascii=False) + "\n")
-            f.write(json.dumps({"batch": batch_idx, "done": True}) + "\n")
+            f.write(json.dumps({"batch": batch_idx, "done": True,
+                                "n": len(rows)}) + "\n")
             f.flush()
             os.fsync(f.fileno())
         self._rows_by_batch[batch_idx] = list(rows)

@@ -28,6 +28,27 @@ def test_incomplete_batch_discarded(tmp_path):
     assert log.rows_for(0) == []
 
 
+def test_orphan_rows_from_crashed_append_not_double_counted(tmp_path):
+    """A crash INSIDE append_batch leaves orphan row lines with no done
+    marker; the rerun re-appends the full batch.  Only the last n rows
+    (recorded in the done marker) may count, or every later resume
+    double-counts the batch's ACC/ASR rows."""
+    path = str(tmp_path / "rows.jsonl")
+    # crashed attempt: 2 of 3 rows written, no marker
+    with open(path, "w") as f:
+        f.write(json.dumps({"batch": 0, "row": {"query_id": "a"}}) + "\n")
+        f.write(json.dumps({"batch": 0, "row": {"query_id": "b"}}) + "\n")
+    # rerun: the full batch is re-appended through the API
+    log = BatchResultLog(path)
+    assert not log.is_done(0)
+    full = [{"query_id": "a"}, {"query_id": "b"}, {"query_id": "c"}]
+    log.append_batch(0, full)
+    # a later resume must see exactly the 3 re-appended rows, not 5
+    log2 = BatchResultLog(path)
+    assert log2.is_done(0)
+    assert log2.rows_for(0) == full
+
+
 def test_orchestrator_resume(tmp_path, monkeypatch):
     """Second run with RESUME_LOGS skips generation entirely."""
     import tests.test_pipeline_e2e as e2e
