@@ -17,8 +17,9 @@ from __future__ import annotations
 import json
 from typing import Callable, Dict, List, Optional, Tuple
 
-from sdag_tpu.datamodels import DefenseOutput, is_mal_id, make_mal_id
-from sdag_tpu.defenses.base import Defense
+from sdag_tpu.datamodels import DefenseOutput
+from sdag_tpu.defenses.base import (Defense, build_joint_lists,
+                                    split_kept_docs)
 from sdag_tpu.utils.retry import retry_with_backoff
 
 
@@ -127,11 +128,8 @@ class DiscernAndAnswerDefense(Defense):
               malicious_docs, does_oracle,
               persistent_cache: Optional[Dict[Tuple[str, str], str]] = None
               ) -> DefenseOutput:
-        joint_docs = list(malicious_docs) + list(corpus_docs)
-        joint_ids = [make_mal_id(i) for i in range(len(malicious_docs))] \
-            + list(corpus_ids)
-        joint_scores = ([0.0] * len(malicious_docs) + list(corpus_scores)
-                        if corpus_scores is not None else None)
+        joint_docs, joint_ids, joint_scores = build_joint_lists(
+            malicious_docs, corpus_docs, corpus_ids, corpus_scores)
 
         cap = self.max_docs_to_classify
         docs_cap, ids_cap = joint_docs[:cap], joint_ids[:cap]
@@ -150,6 +148,14 @@ class DiscernAndAnswerDefense(Defense):
             if self.classify_batch is not None:
                 new = self.classify_batch([(query, docs_cap[n])
                                            for n in misses])
+                if len(new) != len(misses):
+                    # zip would silently truncate (leaving None labels that
+                    # crash far away on .lower()) or mask extra labels —
+                    # surface the backend bug at its source instead
+                    raise ValueError(
+                        f"classify_batch returned {len(new)} labels for "
+                        f"{len(misses)} documents — the backend must "
+                        "return one label per (query, doc) pair")
             else:
                 new = [self.classify(query, docs_cap[n]) for n in misses]
             for n, lab in zip(misses, new):
@@ -161,15 +167,8 @@ class DiscernAndAnswerDefense(Defense):
                 for n, (d, i, lab) in enumerate(zip(docs_cap, ids_cap, labels))
                 if lab.lower() == "clean"]
 
-        kept_mals, kept_docs, kept_ids, kept_scores = [], [], [], []
-        for d, did, sc in kept:
-            if is_mal_id(did) and does_oracle:
-                kept_mals.append(d)
-            else:
-                kept_docs.append(d)
-                kept_ids.append(did)
-                if sc is not None:
-                    kept_scores.append(sc)
+        kept_mals, kept_docs, kept_ids, kept_scores = split_kept_docs(
+            kept, does_oracle)
 
         return DefenseOutput(
             ranked_docs=kept_docs,

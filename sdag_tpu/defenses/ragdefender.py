@@ -20,8 +20,9 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from sdag_tpu.datamodels import DefenseOutput, is_mal_id, make_mal_id
-from sdag_tpu.defenses.base import Defense
+from sdag_tpu.datamodels import DefenseOutput
+from sdag_tpu.defenses.base import (Defense, build_joint_lists,
+                                    split_kept_docs)
 
 
 def _keep_mask_by_text(joint_docs: List[str], kept_docs: List[str]
@@ -82,26 +83,18 @@ class EmbeddingFilterDefense(Defense):
               malicious_docs, does_oracle,
               persistent_cache: Optional[Dict[Tuple[str, str], str]] = None
               ) -> DefenseOutput:
-        joint_docs = list(malicious_docs) + list(corpus_docs)
-        joint_ids = [make_mal_id(i) for i in range(len(malicious_docs))] \
-            + list(corpus_ids)
-        joint_scores = ([0.0] * len(malicious_docs) + list(corpus_scores)
-                        if corpus_scores is not None else None)
+        joint_docs, joint_ids, joint_scores = build_joint_lists(
+            malicious_docs, corpus_docs, corpus_ids, corpus_scores)
 
         kept_docs_list = self._defend(query, joint_docs)
         keep = _keep_mask_by_text(joint_docs, kept_docs_list)
 
-        kept_mals, out_docs, out_ids, out_scores = [], [], [], []
-        for n, (d, did, k) in enumerate(zip(joint_docs, joint_ids, keep)):
-            if not k:
-                continue
-            if is_mal_id(did) and does_oracle:
-                kept_mals.append(d)
-            else:
-                out_docs.append(d)
-                out_ids.append(did)
-                if joint_scores is not None:
-                    out_scores.append(joint_scores[n])
+        kept = [(d, did,
+                 joint_scores[n] if joint_scores is not None else None)
+                for n, (d, did, k) in enumerate(zip(joint_docs, joint_ids,
+                                                    keep)) if k]
+        kept_mals, out_docs, out_ids, out_scores = split_kept_docs(
+            kept, does_oracle)
 
         return DefenseOutput(
             ranked_docs=out_docs,

@@ -25,7 +25,7 @@ from sdag_tpu.ops.topk import (approx_topk_matmul_int8,
                                quantize_rows_int8_residual,
                                rescored_topk_int8, topk_search)
 from sdag_tpu.parallel.collectives import sharded_topk_search
-from sdag_tpu.retrieval.retriever import Retriever
+from sdag_tpu.retrieval.retriever import Retriever, materialize_hits
 
 
 from sdag_tpu.utils.mathutil import round_up as _round_up
@@ -61,7 +61,10 @@ class DenseIndex:
         # "exact": fused Pallas kernel, exact (score desc, index asc).
         self.search_mode = search_mode
 
-        n_pad = _round_up(self.valid_n, block_n * self.n_shards)
+        # max(., 1): an empty corpus still builds a 1-row padded index
+        # whose searches return all -1/-inf instead of a 0-tile kernel
+        # error (same guard as BM25Index)
+        n_pad = _round_up(max(self.valid_n, 1), block_n * self.n_shards)
         padded = np.zeros((n_pad, self.dim), dtype=np.float32)
         padded[: self.valid_n] = np.asarray(embeddings, dtype=np.float32)
         self.resid = None
@@ -140,21 +143,7 @@ class DenseIndex:
                     ) -> Tuple[List[List[str]], List[List[str]], List[List[float]]]:
         """Turn raw (index, score) hits into texts/ids/scores with ""/"NA"
         fallbacks for invalid rows."""
-        texts_b, ids_b, scores_b = [], [], []
-        for row_idx, row_sc in zip(indices, scores):
-            texts, ids_, scs = [], [], []
-            for idx, sc in zip(row_idx, row_sc):
-                if 0 <= idx < len(self.meta):
-                    texts.append(self.meta[idx].get("text", ""))
-                    ids_.append(str(self.meta[idx].get("id", "NA")))
-                else:
-                    texts.append("")
-                    ids_.append("NA")
-                scs.append(float(sc))
-            texts_b.append(texts)
-            ids_b.append(ids_)
-            scores_b.append(scs)
-        return texts_b, ids_b, scores_b
+        return materialize_hits(self.meta, indices, scores)
 
     # --------------------------------------------------------------- I/O
     def save(self, index_dir: str) -> None:

@@ -122,8 +122,16 @@ class HybridRetriever(Retriever):
         key = (id(dm), id(sm))
         if getattr(self, "_same_corpus_key", None) == key:
             return self._same_corpus_val
-        val = len(dm) == len(sm) and all(
-            a.get("id") == b.get("id") for a, b in zip(dm, sm))
+        # identity must be POSITIVE: rows without ids compare None == None
+        # and would declare two unrelated id-less corpora "identical";
+        # duplicate ids make the host fuser merge rows the device fuser
+        # keeps separate (it dedups by global index), so either case
+        # routes to the safe host path
+        ids_d = [a.get("id") for a in dm]
+        ids_s = [b.get("id") for b in sm]
+        val = (len(ids_d) == len(ids_s) and ids_d == ids_s
+               and all(i is not None for i in ids_d)
+               and len(set(ids_d)) == len(ids_d))
         self._same_corpus_key = key
         self._same_corpus_val = val
         return val

@@ -22,7 +22,7 @@ from sdag_tpu.datamodels import RetrievalBatch
 from sdag_tpu.ops.bm25 import (PAD_TERM, bm25_hybrid_topk,
                                bm25_postings_topk, bm25_topk_dispatch)
 from sdag_tpu.retrieval.analyzer import analyze_texts
-from sdag_tpu.retrieval.retriever import Retriever
+from sdag_tpu.retrieval.retriever import Retriever, materialize_hits
 
 
 from sdag_tpu.utils.mathutil import round_up as _round_up
@@ -347,6 +347,13 @@ class BM25Index:
                 tid = self.vocab.get(t)
                 if tid is not None:
                     counts[tid] = counts.get(tid, 0) + 1
+            if len(counts) > t_cap:
+                print(f"[bm25] WARNING: query {i} has {len(counts)} "
+                      f"distinct indexed terms; keeping the first {t_cap} "
+                      "(max_query_terms) in appearance order — dropped "
+                      "terms contribute no score, which deviates from "
+                      "Lucene. Build the index with a larger "
+                      "max_query_terms to cover it.", flush=True)
             for jcol, (tid, c) in enumerate(list(counts.items())[:t_cap]):
                 q_terms[i, jcol] = tid
                 q_weights[i, jcol] = c
@@ -433,30 +440,17 @@ class BM25Index:
         return idx, vals
 
     def materialize(self, indices, scores):
-        texts_b, ids_b, scores_b = [], [], []
-        for row_idx, row_sc in zip(indices, scores):
-            texts, ids_, scs = [], [], []
-            for idx, sc in zip(row_idx, row_sc):
-                if 0 <= idx < len(self.meta):
-                    texts.append(self.meta[idx].get("text", ""))
-                    ids_.append(str(self.meta[idx].get("id", "NA")))
-                    scs.append(float(sc))
-                else:
-                    texts.append("")
-                    ids_.append("NA")
-                    scs.append(float("-inf"))
-            texts_b.append(texts)
-            ids_b.append(ids_)
-            scores_b.append(scs)
-        return texts_b, ids_b, scores_b
+        return materialize_hits(self.meta, indices, scores,
+                                invalid_score=float("-inf"))
 
     # --------------------------------------------------------------- I/O
     def save(self, index_dir: str) -> None:
         os.makedirs(index_dir, exist_ok=True)
-        np.savez(os.path.join(index_dir, "postings.npz"),
-                 term_ids=np.asarray(self.term_ids)[: self.valid_n],
-                 impacts=np.asarray(self.impacts)[: self.valid_n],
-                 idf=self.idf)
+        arrays = {"term_ids": np.asarray(self.term_ids)[: self.valid_n],
+                  "impacts": np.asarray(self.impacts)[: self.valid_n]}
+        if self.idf is not None:  # savez would pickle a None into an
+            arrays["idf"] = self.idf  # object array load() cannot read
+        np.savez(os.path.join(index_dir, "postings.npz"), **arrays)
         with open(os.path.join(index_dir, "vocab.json"), "w") as f:
             json.dump(self.vocab, f)
         with open(os.path.join(index_dir, "meta.jsonl"), "w",
@@ -520,7 +514,8 @@ class BM25Index:
             man = json.load(f)
         return cls.from_packed(
             data["term_ids"], data["impacts"], vocab, meta=meta,
-            idf=data["idf"], k1=man["k1"], b=man["b"], avgdl=man["avgdl"],
+            idf=data["idf"] if "idf" in data.files else None,
+            k1=man["k1"], b=man["b"], avgdl=man["avgdl"],
             valid_n=man["n"],
             max_query_terms=man.get("max_query_terms", 32),
             mesh=mesh, block_n=block_n, engine=engine)

@@ -427,3 +427,23 @@ def test_scan_engines_k_exceeds_valid_n_reports_minus1():
         assert set(idx[0, :2]) == {0, 1}, name
         np.testing.assert_array_equal(idx[:, 2:], -1, err_msg=name)
         assert np.all(np.isneginf(vals[:, 2:])), name
+
+
+def test_from_packed_save_load_roundtrip(tmp_path):
+    """from_packed leaves idf=None; save() must not pickle the None into
+    an object array that load() cannot read (review audit)."""
+    rng = np.random.default_rng(9)
+    n, lp, v = 6, 4, 12
+    term_ids = rng.integers(0, v, size=(n, lp)).astype(np.int32)
+    impacts = (rng.random((n, lp)) + 0.1).astype(np.float32)
+    vocab = {f"t{i}": i for i in range(v)}
+    meta = [{"id": f"d{i}", "text": f"doc {i}"} for i in range(n)]
+    idx = BM25Index.from_packed(term_ids, impacts, vocab, meta=meta)
+    idx.save(str(tmp_path / "bm"))
+    idx2 = BM25Index.load(str(tmp_path / "bm"))
+    assert idx2.idf is None and idx2.valid_n == n
+    q = ["t0 t1"]
+    i1, s1 = idx.search(q, top_k=3)
+    i2, s2 = idx2.search(q, top_k=3)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)

@@ -93,3 +93,36 @@ def test_device_rrf_matches_host_fuser():
     assert got.docs_texts_full == texts
     for a, b in zip(got.scores_full, scores):
         np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_same_corpus_requires_positive_unique_ids():
+    """Corpus identity must be POSITIVE: meta rows without ids compare
+    None == None, and duplicate ids make the host fuser merge rows the
+    device fuser keeps separate — both cases must route to the host
+    path (review audit)."""
+
+    class _FakeIndex:
+        def __init__(self, meta):
+            self.meta = meta
+
+    class _Fake:
+        def __init__(self, meta):
+            self.index = _FakeIndex(meta)
+
+    from sdag_tpu.retrieval.hybrid import HybridRetriever
+
+    def same(dm, sm):
+        h = HybridRetriever(_Fake(dm), _Fake(sm), seed=0)
+        return h._same_corpus()
+
+    with_ids = [{"id": "a", "text": "x"}, {"id": "b", "text": "y"}]
+    assert same(with_ids, list(with_ids))
+    # no ids on either side: NOT identical (None == None must not match)
+    no_ids = [{"text": "x"}, {"text": "y"}]
+    assert not same(no_ids, list(no_ids))
+    # duplicate ids: host-path only (host dedups by id, device by index)
+    dup = [{"id": "a", "text": "x"}, {"id": "a", "text": "y"}]
+    assert not same(dup, list(dup))
+    # different ids
+    other = [{"id": "a", "text": "x"}, {"id": "c", "text": "y"}]
+    assert not same(with_ids, other)
