@@ -236,6 +236,19 @@ def make_kv_cache(cfg: DecoderConfig, batch: int, size: int,
     return {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
 
 
+def positions_from_doc_id(doc_id: jax.Array) -> jax.Array:
+    """RoPE positions counting only *active* tokens, so block-aligned hole
+    padding (doc_id == HOLE_DOC_ID, sdag/mask.py) does not shift
+    downstream positions — aligned and unaligned layouts are numerically
+    identical.  Single source for the serving prefill AND the
+    pipeline-parallel trainer (parallel/pipeline.py): a drifted copy
+    would give pipeline-trained models different positions than serving
+    sees (silent train/serve skew)."""
+    from sdag_tpu.sdag.mask import HOLE_DOC_ID
+    active = doc_id != HOLE_DOC_ID
+    return jnp.maximum(jnp.cumsum(active.astype(jnp.int32), axis=1) - 1, 0)
+
+
 def prefill(params: Dict[str, Any], cfg: DecoderConfig,
             input_ids: jax.Array,
             doc_id: Optional[jax.Array] = None,
@@ -278,13 +291,7 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig,
         valid_len = jnp.full((B,), L, jnp.int32)
 
     if positions is None:
-        # RoPE positions count only *active* tokens so block-aligned hole
-        # padding (doc_id == -2, sdag/mask.py) does not shift downstream
-        # positions — aligned and unaligned layouts are numerically
-        # identical.
-        active = doc_id != -2
-        positions = jnp.maximum(
-            jnp.cumsum(active.astype(jnp.int32), axis=1) - 1, 0)
+        positions = positions_from_doc_id(doc_id)
     x = params["embed"][input_ids].astype(cfg.dtype)
 
     # layer-invariant mask metadata (block kinds + int8 mask tiles) is

@@ -12,7 +12,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
 
 
 def _checkpointer():
@@ -34,7 +33,6 @@ def load_pytree(path: str, target: Optional[Any] = None) -> Any:
     ckpt = _checkpointer()
     if target is None:
         return ckpt.restore(path)
-    import orbax.checkpoint as ocp
     return ckpt.restore(path, item=target)
 
 
@@ -51,6 +49,6 @@ def restore_train_state(path: str, state):
     restored = load_pytree(path, target={"params": state.params,
                                          "opt_state": state.opt_state,
                                          "step": state.step})
-    return TrainState(params=jax.tree.map(lambda x: x, restored["params"]),
+    return TrainState(params=restored["params"],
                       opt_state=restored["opt_state"],
                       step=restored["step"])

@@ -25,7 +25,8 @@ import optax
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from sdag_tpu.models.llama import (DecoderConfig, layer_forward, rms_norm)
+from sdag_tpu.models.llama import (DecoderConfig, layer_forward,
+                                   positions_from_doc_id, rms_norm)
 from sdag_tpu.ops.attention import prefill_mask_plan
 from sdag_tpu.parallel.train import TrainState, make_optimizer
 
@@ -132,9 +133,7 @@ def make_pp_train_step(cfg: DecoderConfig, mesh: Mesh, n_micro: int,
                 data = get_micro(m)
                 in_window = (m >= 0) & (m < n_micro)
 
-                active = data["doc_id"] != -2
-                positions = jnp.maximum(
-                    jnp.cumsum(active.astype(jnp.int32), axis=1) - 1, 0)
+                positions = positions_from_doc_id(data["doc_id"])
                 # the [mbsz, L, d_model] embedding gather only feeds
                 # stage 0 — lax.cond keeps the other S-1 stages from
                 # paying its HBM traffic every tick (jnp.where computed
@@ -151,10 +150,13 @@ def make_pp_train_step(cfg: DecoderConfig, mesh: Mesh, n_micro: int,
                     (mbsz, cfg.n_heads, L, cfg.head_dim), cfg.dtype)
                 k_spec = jax.ShapeDtypeStruct(
                     (mbsz, cfg.n_kv_heads, L, cfg.head_dim), cfg.dtype)
+                # block sizes must match layer_forward's defaults (128) —
+                # an auto-picked kvres plan (256/512 blocks) would conflict
+                # with the per-call override and raise at trace time
                 plan = prefill_mask_plan(
                     q_spec, k_spec, data["doc_id"], data["nbr_bits"],
                     data["sys_user_len"], data["valid_len"],
-                    impl=attn_impl)
+                    impl=attn_impl, block_q=128, block_k=128)
 
                 def layer_step(xc, layer):
                     # layer_forward handles the tensor-parallel local

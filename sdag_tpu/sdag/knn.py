@@ -62,17 +62,7 @@ def compute_doc_knn_for_docs_batch(encoder, docs_batch: List[List[str]],
 def compute_doc_knn_for_docs(encoder, docs: List[str], k_neighbors: int
                              ) -> List[List[int]]:
     """Reference-contract wrapper (``SDAG.py:14``): returns one neighbor list
-    per input doc; empty docs get [] and are excluded from others' lists."""
-    n = len(docs)
-    if k_neighbors <= 0 or n == 0:
-        return [[] for _ in range(n)]
-    nonempty = [(i, d) for i, d in enumerate(docs) if d and d.strip()]
-    if len(nonempty) <= 1:
-        return [[] for _ in range(n)]
-    idxs = [i for i, _ in nonempty]
-    emb = encoder.encode([d for _, d in nonempty], kind="passage")
-    local = knn_from_embeddings(emb, k_neighbors)
-    out: List[List[int]] = [[] for _ in range(n)]
-    for row, i_full in enumerate(idxs):
-        out[i_full] = [idxs[j] for j in local[row]]
-    return out
+    per input doc; empty docs get [] and are excluded from others' lists.
+    Delegates to the batched path so the nonempty-filter/index-remap rule
+    lives in exactly one place."""
+    return compute_doc_knn_for_docs_batch(encoder, [docs], k_neighbors)[0]

@@ -79,17 +79,24 @@ def build_blocked_causal_mask(
     covered[:layout.sys_user_len] = True
 
     num_docs = layout.num_docs
-    use_nbrs = doc_neighbors is not None and len(doc_neighbors) == num_docs
 
     for d_idx, (d_start, d_end) in enumerate(layout.doc_token_spans):
+        # neighbor semantics mirror neighbors_to_bitmask exactly (truncate
+        # to num_docs, apply the entries present, self excluded) so the
+        # dense golden and the metadata path cannot diverge on the same
+        # inputs — an all-or-nothing length check here silently dropped
+        # every neighbor on a 1-entry mismatch while the metadata path
+        # applied the ones it had
+        nbrs = (doc_neighbors[d_idx]
+                if doc_neighbors is not None and d_idx < len(doc_neighbors)
+                else ())
         for i in range(d_start, d_end):
             mask[i, :layout.sys_user_len] = True
             mask[i, d_start:i + 1] = True
-            if use_nbrs:
-                for nbr in doc_neighbors[d_idx]:
-                    if 0 <= nbr < num_docs:
-                        n_start, n_end = layout.doc_token_spans[nbr]
-                        mask[i, n_start:n_end] = True  # full span, non-causal
+            for nbr in nbrs:
+                if 0 <= nbr < num_docs and nbr != d_idx:
+                    n_start, n_end = layout.doc_token_spans[nbr]
+                    mask[i, n_start:n_end] = True  # full span, non-causal
         covered[d_start:d_end] = True
 
     # QA tail: causal over everything
@@ -99,6 +106,12 @@ def build_blocked_causal_mask(
     if not reference_gap_rows:
         gap_rows = ~covered
         mask[gap_rows] = causal[gap_rows]
+
+    # holes (block-aligned packing): never visible as keys — to any row,
+    # including other holes — matching _tile_mask's ``dk != HOLE`` rule
+    # (hole rows themselves stay causal like gaps; outputs unused)
+    for h_start, h_end in layout.hole_spans:
+        mask[:, h_start:h_end] = False
 
     return mask
 

@@ -138,3 +138,18 @@ def test_mask_neighbors_beyond_cap_raises():
     layout = BlockLayout(L, sul, spans, qa_start=L)
     with pytest.raises(ValueError, match="neighbor windows"):
         layout_to_metadata(layout, doc_neighbors=[[1]] * n_docs)
+
+
+def test_dense_golden_matches_metadata_on_holes_and_nbr_mismatch():
+    """The dense golden builder must agree with the metadata mask on
+    block-aligned (holed) layouts and on neighbor lists shorter/longer
+    than the doc count (review audit: it used to ignore hole_spans
+    entirely and drop ALL neighbors on a length mismatch)."""
+    lay = BlockLayout(24, 4, ((4, 8), (12, 16)), 16, hole_spans=((8, 12),))
+    for nbrs in (None, [[1], []], [[1]], [[0], [0]], [[1], [0]],
+                 [[0], [1]], [[1], [0], [0]]):
+        dense = build_blocked_causal_mask(lay, doc_neighbors=nbrs)
+        did, bits, sul = layout_to_metadata(lay, doc_neighbors=nbrs)
+        meta = mask_from_metadata(did, bits, sul)
+        np.testing.assert_array_equal(
+            dense, meta[:24, :24], err_msg=f"nbrs={nbrs}")
