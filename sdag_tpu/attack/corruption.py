@@ -30,7 +30,11 @@ def replace_gt_with_false(doc: str, gt_answers: List[str], false_answer: str) ->
     out = doc
     for gt in gt_answers:
         if gt and gt.strip():
-            out = re.sub(re.escape(gt.strip()), false_answer, out, flags=re.IGNORECASE)
+            # lambda repl: false_answer is LITERAL text — as a template,
+            # a backslash or '\\1' in an LLM-generated answer would raise
+            # re.error mid-experiment (or corrupt the doc)
+            out = re.sub(re.escape(gt.strip()), lambda m: false_answer,
+                         out, flags=re.IGNORECASE)
     return out
 
 

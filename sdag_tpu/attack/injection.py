@@ -14,10 +14,12 @@ from typing import List, Optional, Sequence, Tuple, Union
 
 
 def attack_config_requests_docs(pos_cfg: object) -> bool:
-    """True iff the position config asks for at least one injection."""
-    if isinstance(pos_cfg, bool):
-        return False
-    if isinstance(pos_cfg, int):
+    """True iff the position config asks for at least one injection.
+
+    bool follows int semantics (True == 1 requests an injection) — the
+    reference treats positions as plain ints and a special-case here made
+    scalar True report no attack while [True] reported one."""
+    if isinstance(pos_cfg, int):  # covers bool (True == 1)
         return pos_cfg != 0
     if isinstance(pos_cfg, (list, tuple)):
         return any((p or 0) != 0 for p in pos_cfg)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 
@@ -30,13 +30,21 @@ from sdag_tpu.sdag.generate import Generator
 def _encoder_config(arch: str) -> EncoderConfig:
     if arch == "e5-large-v2":
         return EncoderConfig.e5_large_v2()
-    return EncoderConfig.tiny()
+    if arch == "tiny":
+        return EncoderConfig.tiny()
+    # a typo must not silently run the experiment on a random toy model
+    # and write plausible-looking garbage metrics
+    raise ValueError(f"Unknown RANKER_ARCH {arch!r}: expected "
+                     "'e5-large-v2' or 'tiny'")
 
 
 def _decoder_config(arch: str) -> DecoderConfig:
     if arch == "llama3-8b":
         return DecoderConfig.llama3_8b()
-    return DecoderConfig.tiny()
+    if arch == "tiny":
+        return DecoderConfig.tiny()
+    raise ValueError(f"Unknown LLM_ARCH {arch!r}: expected 'llama3-8b' "
+                     "or 'tiny'")
 
 
 def load_corpus_jsonl(path: str) -> Tuple[List[str], List[str]]:
@@ -114,11 +122,28 @@ def init_resources(cfg: Config) -> Resources:
     need_dense = cfg.RETRIEVER_BACKEND in {"dense", "sparse_and_dense"}
     need_sparse = cfg.RETRIEVER_BACKEND in {"sparse", "sparse_and_dense"}
 
+    # one corpus read shared by both build paths (sparse_and_dense used
+    # to parse a multi-GB JSONL twice back-to-back)
+    corpus_cache: Dict[str, Tuple[List[str], List[str]]] = {}
+
+    def corpus():
+        if cfg.CORPUS_JSONL_PATH not in corpus_cache:
+            corpus_cache[cfg.CORPUS_JSONL_PATH] = load_corpus_jsonl(
+                cfg.CORPUS_JSONL_PATH)
+        return corpus_cache[cfg.CORPUS_JSONL_PATH]
+
     if need_dense:
         import jax.numpy as jnp
-        idx_dtype = {"bfloat16": jnp.bfloat16,
-                     "int8": jnp.int8}.get(cfg.DENSE_INDEX_DTYPE,
-                                           jnp.float32)
+        dtypes = {"bfloat16": jnp.bfloat16, "int8": jnp.int8,
+                  "float32": jnp.float32}
+        if cfg.DENSE_INDEX_DTYPE not in dtypes:
+            # membership-checked like every other config enum — 'bf16'
+            # silently loading a float32 index ignores the user's
+            # quantization choice at 2x the HBM
+            raise ValueError(f"Unknown DENSE_INDEX_DTYPE "
+                             f"{cfg.DENSE_INDEX_DTYPE!r}: expected one of "
+                             f"{sorted(dtypes)}")
+        idx_dtype = dtypes[cfg.DENSE_INDEX_DTYPE]
         if os.path.isdir(cfg.DENSE_INDEX_PATH):
             print(f"[resources] loading dense index: {cfg.DENSE_INDEX_PATH}")
             meta_path = cfg.META_JSONL_PATH \
@@ -131,7 +156,7 @@ def init_resources(cfg: Config) -> Resources:
         elif cfg.CORPUS_JSONL_PATH:
             print("[resources] building dense index from corpus "
                   f"{cfg.CORPUS_JSONL_PATH}")
-            texts, ids = load_corpus_jsonl(cfg.CORPUS_JSONL_PATH)
+            texts, ids = corpus()
             dense_index = DenseIndex.from_texts(
                 texts, ids, encoder, mesh=mesh,
                 batch_size=cfg.BATCH_SIZE_EMBED_Q, dtype=idx_dtype,
@@ -152,7 +177,7 @@ def init_resources(cfg: Config) -> Resources:
         elif cfg.CORPUS_JSONL_PATH:
             print("[resources] building BM25 index from corpus "
                   f"{cfg.CORPUS_JSONL_PATH}")
-            texts, ids = load_corpus_jsonl(cfg.CORPUS_JSONL_PATH)
+            texts, ids = corpus()
             sparse_index = BM25Index.from_texts(texts, ids, k1=cfg.BM25_K1,
                                                 b=cfg.BM25_B,
                                                 engine=cfg.BM25_ENGINE)
