@@ -111,8 +111,7 @@ def bench_dense_qps(q, c, k: int, dtype_name: str, iters: int = 50,
         # >=0.99 parity target, measured over all queries)
         _, i16 = search(qj, cj, 10)
         i16 = np.asarray(i16)
-        recall = float(np.mean([len(set(i16[r]) & set(exact[r])) / 10
-                                for r in range(q.shape[0])]))
+        recall = _recall_at10(i16, exact)
 
     def make_loop(n):
         @jax.jit
@@ -125,6 +124,15 @@ def bench_dense_qps(q, c, k: int, dtype_name: str, iters: int = 50,
 
     dt = _device_time_delta(make_loop, qj, cj, iters=iters)
     return q.shape[0] / dt, recall
+
+
+def _recall_at10(pred_idx, exact_idx) -> float:
+    """Mean recall@10 of predicted indices vs the exact top-10 (one rule
+    for every dense path; -1 padded slots never match real ids)."""
+    pred_idx = np.asarray(pred_idx)
+    exact_idx = np.asarray(exact_idx)
+    return float(np.mean([len(set(pred_idx[r]) & set(exact_idx[r])) / 10
+                          for r in range(pred_idx.shape[0])]))
 
 
 def bench_cpu_dense_qps(q, c, k: int, n_queries: int = 32) -> float:
@@ -654,8 +662,7 @@ def main() -> None:
         dt = _device_time_delta(make_loop, qj, qvi, scj, iters=50)
         _, i8 = approx_topk_matmul_int8(qj, qvi, scj, 10)
         i8 = np.asarray(i8)
-        rec = float(np.mean([len(set(i8[r]) & set(exact[r])) / 10
-                             for r in range(q.shape[0])]))
+        rec = _recall_at10(i8, exact)
         return q.shape[0] / dt, rec
 
     i8 = safe("dense_int8", bench_int8)
@@ -687,8 +694,7 @@ def main() -> None:
         dt = _device_time_delta(make_loop, qj, bj, sbj, rj, srj, iters=50)
         _, i = rescored_topk_int8(qj, bj, sbj, rj, srj, 10)
         i = np.asarray(i)
-        rec = float(np.mean([len(set(i[r]) & set(exact[r])) / 10
-                             for r in range(q.shape[0])]))
+        rec = _recall_at10(i, exact)
         return q.shape[0] / dt, rec
 
     # int8 base scan + int8-residual candidate rescore (DENSE_INDEX_DTYPE=
@@ -736,8 +742,7 @@ def main() -> None:
         exact1 = np.asarray(exact_scan(q1, c1))
         _, i1 = approx_topk_matmul(q1, c1, 10)
         i1 = np.asarray(i1)
-        rec = float(np.mean([len(set(i1[r]) & set(exact1[r])) / 10
-                             for r in range(Q1)]))
+        rec = _recall_at10(i1, exact1)
 
         @jax.jit
         def loop(qj, cj):
@@ -811,8 +816,7 @@ def main() -> None:
         exact4 = np.asarray(exact_scan_i8(q4, c4, s4))
         _, i4 = approx_topk_matmul_int8(q4, c4, s4, 10)
         i4 = np.asarray(i4)
-        rec = float(np.mean([len(set(i4[r]) & set(exact4[r])) / 10
-                             for r in range(Q4)]))
+        rec = _recall_at10(i4, exact4)
 
         @jax.jit
         def loop(qj, cj, sj):

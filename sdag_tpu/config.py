@@ -172,6 +172,13 @@ class Config:
         if self.DENSE_SEARCH_MODE not in {"approx", "exact"}:
             raise ValueError(
                 f"Unknown DENSE_SEARCH_MODE: {self.DENSE_SEARCH_MODE}")
+        if self.RANKED_LIST_ORDER_IN_PROMPT not in {"top_down", "bottom_up",
+                                                    "random"}:
+            # the consumer silently falls back to top_down, so a typo
+            # ('bottom-up') would run the wrong ordering while the config
+            # snapshot claims otherwise
+            raise ValueError(f"Unknown RANKED_LIST_ORDER_IN_PROMPT: "
+                             f"{self.RANKED_LIST_ORDER_IN_PROMPT}")
         if self.DENSE_INDEX_DTYPE == "int8" and not self.DENSE_INT8_RESCORE:
             import warnings
             warnings.warn(
@@ -227,7 +234,20 @@ class Config:
                 continue
             current = getattr(self, key)
             if isinstance(current, bool) and not isinstance(value, bool):
-                value = bool(value)
+                if isinstance(value, str):
+                    # hand-edited JSON often carries string booleans;
+                    # bool("false") is True — the opposite of intent
+                    low = value.strip().lower()
+                    if low in ("true", "1", "yes"):
+                        value = True
+                    elif low in ("false", "0", "no", ""):
+                        value = False
+                    else:
+                        raise ValueError(
+                            f"Config key {key!r} expects a boolean; got "
+                            f"the string {value!r}")
+                else:
+                    value = bool(value)
             elif isinstance(current, int) and not isinstance(current, bool) \
                     and isinstance(value, (int, float)) and not isinstance(value, bool):
                 value = int(value)

@@ -101,12 +101,22 @@ def decoder_config_from_hf(hf_cfg) -> DecoderConfig:
 
 def load_decoder_checkpoint(checkpoint_dir: str
                             ) -> Tuple[Dict[str, Any], DecoderConfig]:
-    """Load a local HF Llama checkpoint dir into (params, config)."""
+    """Load a local HF Llama checkpoint dir into (params, config).
+
+    Memory discipline for the 8B target: the torch model loads at its
+    STORED dtype (bf16 for Llama-3.1, not a 32GB f32 promotion) and the
+    converted arrays are committed to the host CPU backend — eager
+    placement on the default TPU device would OOM a 16GB v5e before
+    shard_params/TP sharding ever runs; tensors move to devices with
+    their proper shardings at first use."""
+    import jax
     from transformers import AutoConfig, AutoModelForCausalLM
     hf_cfg = AutoConfig.from_pretrained(checkpoint_dir)
     cfg = decoder_config_from_hf(hf_cfg)
-    model = AutoModelForCausalLM.from_pretrained(checkpoint_dir)
-    params = convert_llama_state_dict(model.state_dict(), cfg)
+    model = AutoModelForCausalLM.from_pretrained(
+        checkpoint_dir, torch_dtype="auto", low_cpu_mem_usage=True)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = convert_llama_state_dict(model.state_dict(), cfg)
     del model
     return params, cfg
 
@@ -171,11 +181,17 @@ def encoder_config_from_hf(hf_cfg) -> EncoderConfig:
 
 def load_encoder_checkpoint(checkpoint_dir: str
                             ) -> Tuple[Dict[str, Any], EncoderConfig]:
-    """Load a local HF BERT/E5 checkpoint dir into (params, config)."""
+    """Load a local HF BERT/E5 checkpoint dir into (params, config).
+
+    Same memory discipline as load_decoder_checkpoint: stored dtype,
+    host-side conversion."""
+    import jax
     from transformers import AutoConfig, AutoModel
     hf_cfg = AutoConfig.from_pretrained(checkpoint_dir)
     cfg = encoder_config_from_hf(hf_cfg)
-    model = AutoModel.from_pretrained(checkpoint_dir)
-    params = convert_bert_state_dict(model.state_dict(), cfg)
+    model = AutoModel.from_pretrained(checkpoint_dir, torch_dtype="auto",
+                                      low_cpu_mem_usage=True)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = convert_bert_state_dict(model.state_dict(), cfg)
     del model
     return params, cfg

@@ -69,9 +69,12 @@ def build_encoder(cfg: Config) -> E5Encoder:
     else:
         params = init_encoder_params(jax.random.PRNGKey(cfg.SEED), enc_cfg)
     dp_mesh = None
-    if cfg.MESH_DATA > 1:
+    if cfg.MESH_DATA != 1:
         # index-build / query encoding sharded over the data axis,
-        # mirroring the sharded search path (SURVEY §2.10)
+        # mirroring the sharded search path (SURVEY §2.10).  MESH_DATA=0
+        # keeps its documented "all local devices" semantics (config.py)
+        # — it used to be silently ignored here, so the default build ran
+        # single-device; E5Encoder itself no-ops on a 1-device mesh
         from sdag_tpu.core.mesh import make_mesh
         dp_mesh = make_mesh(data=cfg.MESH_DATA, model=1)
     return E5Encoder(params, enc_cfg, tok, model_name=cfg.RANKER_MODEL_NAME,

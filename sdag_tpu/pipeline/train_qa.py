@@ -123,6 +123,34 @@ def build_example(rng: np.random.Generator, tokenizer, fact: Fact,
             "valid_len": np.int32(len(ids)), "loss_mask": loss_mask}
 
 
+def _collect_examples(n: int, make_one) -> List[Dict[str, np.ndarray]]:
+    """Rejection-sample n examples (build_example returns None when the
+    prompt does not fit seq_len).  Single retry loop shared by the train
+    samplers and the eval builder — the three copies had already begun
+    to drift."""
+    exs: List[Dict[str, np.ndarray]] = []
+    while len(exs) < n:
+        ex = make_one()
+        if ex is not None:
+            exs.append(ex)
+    return exs
+
+
+def _train_example(rng: np.random.Generator, tokenizer,
+                   pool: Optional[List[Fact]], seq_len: int, k_min: int,
+                   k_max: int, iso_frac: float, styled_frac: float,
+                   dup_frac: float):
+    """One training example: fresh pseudoword fact in stream mode
+    (pool=None), random doc count, coin-flipped ISO/causal prefill."""
+    fact = random_fact(rng) if pool is None \
+        else pool[int(rng.integers(len(pool)))]
+    k = int(rng.integers(k_min, k_max + 1))
+    return build_example(rng, tokenizer, fact, pool, k,
+                         iso=bool(rng.random() < iso_frac),
+                         seq_len=seq_len, styled_frac=styled_frac,
+                         dup_frac=dup_frac)
+
+
 def sample_batch(rng: np.random.Generator, tokenizer,
                  pool: Optional[List[Fact]], batch: int, seq_len: int,
                  k_min: int = 2, k_max: int = 10,
@@ -130,17 +158,9 @@ def sample_batch(rng: np.random.Generator, tokenizer,
                  dup_frac: float = 0.25) -> Dict[str, jnp.ndarray]:
     """pool=None = stream mode: every example's facts are fresh
     pseudowords, so the model can only learn answer-from-context."""
-    exs = []
-    while len(exs) < batch:
-        fact = random_fact(rng) if pool is None \
-            else pool[int(rng.integers(len(pool)))]
-        k = int(rng.integers(k_min, k_max + 1))
-        ex = build_example(rng, tokenizer, fact, pool, k,
-                           iso=bool(rng.random() < iso_frac),
-                           seq_len=seq_len, styled_frac=styled_frac,
-                           dup_frac=dup_frac)
-        if ex is not None:
-            exs.append(ex)
+    exs = _collect_examples(batch, lambda: _train_example(
+        rng, tokenizer, pool, seq_len, k_min, k_max, iso_frac,
+        styled_frac, dup_frac))
     return {key: jnp.asarray(np.stack([e[key] for e in exs]))
             for key in exs[0]}
 
@@ -176,17 +196,9 @@ def sample_batch_stack(rng: np.random.Generator, tokenizer,
     """[S, B, ...] stack of S compressed batches for the scan driver."""
     stacks = []
     for _ in range(chunk):
-        exs = []
-        while len(exs) < batch:
-            fact = random_fact(rng) if pool is None \
-                else pool[int(rng.integers(len(pool)))]
-            k = int(rng.integers(k_min, k_max + 1))
-            ex = build_example(rng, tokenizer, fact, pool, k,
-                               iso=bool(rng.random() < iso_frac),
-                               seq_len=seq_len, styled_frac=styled_frac,
-                               dup_frac=dup_frac)
-            if ex is not None:
-                exs.append(ex)
+        exs = _collect_examples(batch, lambda: _train_example(
+            rng, tokenizer, pool, seq_len, k_min, k_max, iso_frac,
+            styled_frac, dup_frac))
         stacks.append(compress_batch_np(exs))
     return {k: np.stack([s[k] for s in stacks]) for k in stacks[0]}
 
@@ -204,13 +216,13 @@ def teacher_forced_eval(params, cfg: DecoderConfig, tokenizer,
         sys_user_len=b["sys_user_len"], valid_len=b["valid_len"],
         attn_impl="xla", with_cache=False)[0])
     for mode, iso in (("iso", True), ("noiso", False)):
-        exs = []
-        while len(exs) < n:
+        def one():
             fact = eval_pool[int(rng.integers(len(eval_pool)))]
-            ex = build_example(rng, tokenizer, fact, distract_pool + [fact],
-                               k, iso=iso, seq_len=seq_len)
-            if ex is not None:
-                exs.append(ex)
+            return build_example(rng, tokenizer, fact,
+                                 distract_pool + [fact], k, iso=iso,
+                                 seq_len=seq_len)
+
+        exs = _collect_examples(n, one)
         batch = {key: jnp.asarray(np.stack([e[key] for e in exs]))
                  for key in exs[0]}
         logits = np.asarray(fwd(params, batch))
@@ -276,12 +288,19 @@ def main(argv: Optional[List[str]] = None) -> None:
     eval_distract = world.facts_for(world.train_entities)
     print(f"[train_qa] world: {len(world.facts)} facts, "
           f"{len(world.train_entities)} train / "
-          f"{len(world.eval_entities)} eval entities; "
-          f"model {sum(x.size for x in jax.tree.leaves(init_decoder_params(jax.random.PRNGKey(0), cfg)))/1e6:.2f}M params",
-          flush=True)
+          f"{len(world.eval_entities)} eval entities", flush=True)
 
     mesh = make_mesh(data=args.mesh_data, model=1)
     chunk = max(1, args.scan_chunk)
+    if chunk > 1 and args.steps % chunk:
+        # a partial tail stack has a different [S, ...] shape and forces a
+        # SECOND full remote compile of the train scan (minutes under
+        # relay contention) — round up instead; extra steps only train
+        rounded = ((args.steps + chunk - 1) // chunk) * chunk
+        print(f"[train_qa] Note: steps {args.steps} -> {rounded} "
+              f"(multiple of --scan-chunk {chunk}; avoids recompiling "
+              "the scan for a partial tail)", flush=True)
+        args.steps = rounded
     import optax
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, args.warmup, args.steps, args.lr * 0.03)
@@ -293,6 +312,9 @@ def main(argv: Optional[List[str]] = None) -> None:
         init_state, step_fn = make_sharded_train_step(
             cfg, mesh, optimizer=opt)
     params = init_decoder_params(jax.random.PRNGKey(args.seed), cfg)
+    print(f"[train_qa] model "
+          f"{sum(x.size for x in jax.tree.leaves(params)) / 1e6:.2f}M "
+          "params", flush=True)
     state = init_state(params)
 
     rng = np.random.default_rng(args.seed + 7)
