@@ -114,6 +114,39 @@ def test_config_bare_int8_dense_warns():
         cfg.validate()
 
 
+def test_config_string_boolean_coercion():
+    """Hand-edited JSON often carries string booleans; bool("false") is
+    True — the opposite of intent.  apply_overrides must parse the common
+    spellings and reject garbage loudly instead of coercing it."""
+    import pytest
+    from sdag_tpu.config import Config
+
+    cfg = Config()
+    cfg.apply_overrides({"RESUME_LOGS": "true", "ORACLE": "False",
+                         "DENSE_INT8_RESCORE": "0"})
+    assert cfg.RESUME_LOGS is True
+    assert cfg.ORACLE is False
+    assert cfg.DENSE_INT8_RESCORE is False
+    with pytest.raises(ValueError, match="expects a boolean"):
+        Config().apply_overrides({"RESUME_LOGS": "flase"})
+
+
+def test_config_ranked_list_order_enum():
+    """The prompt builder silently falls back to top_down for unknown
+    orderings, so a typo must fail at config time (round-3 audit)."""
+    import pytest
+    from sdag_tpu.config import Config
+
+    for ok in ("top_down", "bottom_up", "random"):
+        cfg = Config()
+        cfg.RANKED_LIST_ORDER_IN_PROMPT = ok
+        cfg.validate()
+    cfg = Config()
+    cfg.RANKED_LIST_ORDER_IN_PROMPT = "bottom-up"
+    with pytest.raises(ValueError, match="RANKED_LIST_ORDER_IN_PROMPT"):
+        cfg.validate()
+
+
 def test_config_reference_key_compat():
     """A reference-style JSON config loads unchanged: renamed keys map via
     aliases (FAISS path, lowercase gen-token names, the RNAKED typo) and
