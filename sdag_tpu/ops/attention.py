@@ -694,16 +694,20 @@ def _splash_kernel(meta_ref, counts_ref, kvlist_ref, kindlist_ref,
                    q_ref, k_hbm, v_hbm, dq_ref, dall_ref, nbr_ref,
                    out_ref, k_buf, v_buf, sems, m_scratch, l_scratch,
                    acc_scratch, *, block_q: int, block_k: int, scale: float,
-                   n_heads: int):
+                   n_heads: int, n_rep: int):
     """Grid: (B*H, nQ).  Only the kv tiles on this q-block's worklist are
     DMA'd from HBM (double-buffered) and computed — the splash design: block
-    sparsity saves bandwidth, not just MXU work."""
+    sparsity saves bandwidth, not just MXU work.  GQA-native: k/v stay
+    grouped in HBM ([B*n_kv, L, Dh]); each q head DMAs from its shared kv
+    head, so grouped heads never materialize the repeat."""
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     b = bh // n_heads
+    kvh = b * (n_heads // n_rep) + (bh % n_heads) // n_rep
     cnt = counts_ref[b, qi]
     sys_user_len = meta_ref[b, 0]
     valid_len = meta_ref[b, 1]
+    q_offset = meta_ref[b, 2]
 
     m_scratch[:] = jnp.full_like(m_scratch, -jnp.inf)
     l_scratch[:] = jnp.zeros_like(l_scratch)
@@ -713,20 +717,20 @@ def _splash_kernel(meta_ref, counts_ref, kvlist_ref, kindlist_ref,
         kv_idx = kvlist_ref[b, qi, t]
         start = kv_idx * block_k
         pltpu.make_async_copy(
-            k_hbm.at[bh, pl.ds(start, block_k), :], k_buf.at[slot],
+            k_hbm.at[kvh, pl.ds(start, block_k), :], k_buf.at[slot],
             sems.at[slot, 0]).start()
         pltpu.make_async_copy(
-            v_hbm.at[bh, pl.ds(start, block_k), :], v_buf.at[slot],
+            v_hbm.at[kvh, pl.ds(start, block_k), :], v_buf.at[slot],
             sems.at[slot, 1]).start()
 
     def wait_dma(slot, t):
         kv_idx = kvlist_ref[b, qi, t]
         start = kv_idx * block_k
         pltpu.make_async_copy(
-            k_hbm.at[bh, pl.ds(start, block_k), :], k_buf.at[slot],
+            k_hbm.at[kvh, pl.ds(start, block_k), :], k_buf.at[slot],
             sems.at[slot, 0]).wait()
         pltpu.make_async_copy(
-            v_hbm.at[bh, pl.ds(start, block_k), :], v_buf.at[slot],
+            v_hbm.at[kvh, pl.ds(start, block_k), :], v_buf.at[slot],
             sems.at[slot, 1]).wait()
 
     NBUF = 4
@@ -757,7 +761,7 @@ def _splash_kernel(meta_ref, counts_ref, kvlist_ref, kindlist_ref,
                 preferred_element_type=jnp.float32) * scale
 
             def apply_mask(s):
-                i = qi * block_q + jax.lax.broadcasted_iota(
+                i = q_offset + qi * block_q + jax.lax.broadcasted_iota(
                     jnp.int32, (block_q, block_k), 0)
                 j = kv_idx * block_k + jax.lax.broadcasted_iota(
                     jnp.int32, (block_q, block_k), 1)
@@ -804,37 +808,55 @@ def _splash_kernel(meta_ref, counts_ref, kvlist_ref, kindlist_ref,
 def sdag_splash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                           valid_len=None, block_q: int = 256,
                           block_k: int = 256, scale: Optional[float] = None,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          doc_id_q=None, nbr_bits_q=None, q_offset=None,
+                          kinds=None):
     """Splash-style SDAG flash attention: per-q-block worklists of needed kv
     tiles, manual double-buffered HBM->VMEM DMA.  Bandwidth and compute both
-    scale with the *visible* attention area.
+    scale with the *visible* attention area — the large-L regime where the
+    kvres schedule no longer fits VMEM and the grid kernel would DMA every
+    tile including SKIPs (``SDAG.py:68-127``: the mask is the long-context
+    mechanism).
 
-    Same contract as sdag_flash_attention.
+    Same contract as sdag_flash_attention: GQA kv heads stay grouped (each
+    q head DMAs from its shared kv head), and context-parallel q-row slices
+    pass doc_id_q/nbr_bits_q/q_offset.
     """
-    B, H, L, Dh = q.shape
-    if k.shape[1] != H:
-        k = jnp.repeat(k, H // k.shape[1], axis=1)
-        v = jnp.repeat(v, H // v.shape[1], axis=1)
+    B, H, Lq, Dh = q.shape
+    L = k.shape[2]
+    n_kv = k.shape[1]
+    if H % n_kv:
+        raise ValueError(f"q heads {H} not a multiple of kv heads {n_kv}")
+    n_rep = H // n_kv
     scale = scale if scale is not None else Dh ** -0.5
-    block_q = min(block_q, L)
+    block_q = min(block_q, Lq)
     block_k = min(block_k, L)
-    if L % block_q or L % block_k:
-        raise ValueError(f"L={L} must be divisible by block sizes")
+    if Lq % block_q or L % block_k:
+        raise ValueError(f"Lq={Lq}/Lk={L} must divide the block sizes")
+    if doc_id_q is None:
+        doc_id_q = doc_id
+    if nbr_bits_q is None:
+        nbr_bits_q = nbr_bits
 
     sys_user_len = jnp.broadcast_to(jnp.asarray(sys_user_len, jnp.int32),
                                     (B,))
     valid_len = (jnp.broadcast_to(jnp.asarray(valid_len, jnp.int32), (B,))
                  if valid_len is not None
                  else jnp.full((B,), L, jnp.int32))
-    meta = jnp.stack([sys_user_len, valid_len], axis=1)
-    kinds = compute_block_kinds(doc_id, nbr_bits, sys_user_len, valid_len,
-                                block_q, block_k)
+    q_offset = (jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
+                if q_offset is not None else jnp.zeros((B,), jnp.int32))
+    meta = jnp.stack([sys_user_len, valid_len, q_offset], axis=1)
+    if kinds is None:  # multi-layer callers precompute via prefill_mask_plan
+        kinds = compute_block_kinds(doc_id, nbr_bits, sys_user_len,
+                                    valid_len, block_q, block_k,
+                                    doc_id_q=doc_id_q,
+                                    nbr_bits_q=nbr_bits_q, q_offset=q_offset)
     counts, kv_list, kind_list = _pack_kv_lists(kinds)
 
-    qf = q.reshape(B * H, L, Dh)
-    kf = k.reshape(B * H, L, Dh)
-    vf = v.reshape(B * H, L, Dh)
-    nq = L // block_q
+    qf = q.reshape(B * H, Lq, Dh)
+    kf = k.reshape(B * n_kv, L, Dh)
+    vf = v.reshape(B * n_kv, L, Dh)
+    nq = Lq // block_q
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # meta, counts, kv_list, kind_list
@@ -849,7 +871,7 @@ def sdag_splash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, L // block_k, block_k),
                          lambda bh, qi, *_: (0, 0, 0),
-                         memory_space=pltpu.VMEM),  # doc_id, kv-tiled
+                         memory_space=pltpu.VMEM),  # KEY doc_id, kv-tiled
             pl.BlockSpec((B, block_q), lambda bh, qi, *_: (0, qi),
                          memory_space=pltpu.VMEM),
         ],
@@ -871,16 +893,16 @@ def sdag_splash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
 
     out = pl.pallas_call(
         functools.partial(_splash_kernel, block_q=block_q, block_k=block_k,
-                          scale=scale, n_heads=H),
+                          scale=scale, n_heads=H, n_rep=n_rep),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B * H, L, Dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * H, Lq, Dh), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(meta, counts, kv_list, kind_list, qf, kf, vf, doc_id,
-      doc_id.reshape(B, L // block_k, block_k), nbr_bits)
-    return out.reshape(B, H, L, Dh)
+    )(meta, counts, kv_list, kind_list, qf, kf, vf, doc_id_q,
+      doc_id.reshape(B, L // block_k, block_k), nbr_bits_q)
+    return out.reshape(B, H, Lq, Dh)
 
 
 # One (b, kv-head)'s K+V must fit comfortably in VMEM for the KV-resident
@@ -906,11 +928,15 @@ def _resolve_prefill_impl(q, k, impl: str, block_q=None,
     64-row context-parallel shard with block_q=64 stays on Pallas."""
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl in ("pallas", "pallas_kvres") and (
+    if impl in ("pallas", "pallas_kvres", "pallas_splash") and (
             q.shape[2] % (block_q or 128) or k.shape[2] % (block_k or 128)):
         impl = "xla"  # unpadded lengths fall back to the dense-mask path
-    if impl == "pallas" and _kvres_fits_vmem(k):
-        impl = "pallas_kvres"
+    if impl == "pallas":
+        # KV-resident schedule while one head's K+V fits VMEM; beyond that
+        # (L ≳ 16k bf16) the splash schedule, whose manual per-worklist DMA
+        # skips the HBM traffic of SKIP tiles — the grid kernel would DMA
+        # every tile in exactly the regime sparsity should save bandwidth
+        impl = ("pallas_kvres" if _kvres_fits_vmem(k) else "pallas_splash")
     return impl
 
 
@@ -939,6 +965,9 @@ def prefill_mask_plan(q, k, doc_id, nbr_bits, sys_user_len, valid_len=None,
     if impl == "pallas_kvres":  # kvres auto-picks large MXU tiles
         bq = min(block_q, Lq) if block_q else _pick_block(Lq)
         bk = min(block_k, L) if block_k else _pick_block(L)
+    elif impl == "pallas_splash":  # splash defaults mirror its signature
+        bq = min(block_q or 256, Lq)
+        bk = min(block_k or 256, L)
     else:  # the grid kernel defaults to 128 blocks — keep that choice
         bq = min(block_q or 128, Lq)
         bk = min(block_k or 128, L)
@@ -966,8 +995,9 @@ def prefill_mask_plan(q, k, doc_id, nbr_bits, sys_user_len, valid_len=None,
 def sdag_prefill_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                            valid_len=None, impl: str = "auto", **kw):
     """Dispatch: Pallas flash kernel on TPU (KV-resident schedule when one
-    head's K+V fits VMEM — ~10% faster, zero DMA for skipped tiles; grid
-    kernel beyond that), XLA reference elsewhere.
+    head's K+V fits VMEM — ~10% faster, zero DMA for skipped tiles; the
+    manual-DMA splash schedule beyond that, where skipping a tile must save
+    HBM bandwidth, not just MXU work), XLA reference elsewhere.
 
     use_mask_tiles=True (callers with real doc structure, e.g. the ISO
     prefill) streams precomputed int8 mask tiles instead of recomputing
@@ -1004,6 +1034,10 @@ def sdag_prefill_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                                           sys_user_len, valid_len=valid_len,
                                           use_mask_tiles=use_mask_tiles,
                                           **kw)
+    if impl == "pallas_splash":
+        kw.pop("mask_tiles", None)  # tiles are a kvres-only optimization
+        return sdag_splash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
+                                     valid_len=valid_len, **kw)
     if impl == "pallas":
         return sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
                                     valid_len=valid_len, **kw)

@@ -124,6 +124,64 @@ def test_splash_matches_reference():
     assert np.abs(ref - out)[:, :, :230].max() < 3e-2
 
 
+def test_splash_gqa_and_qoffset_matches_reference():
+    """Splash with grouped kv heads (no repeat materialization) and a
+    context-parallel q-row slice (doc_id_q/nbr_bits_q/q_offset) — the
+    capabilities that let the dispatcher route any prefill to splash."""
+    from sdag_tpu.ops.attention import (prefill_mask_plan,
+                                        sdag_prefill_attention,
+                                        sdag_splash_attention)
+    rng = np.random.default_rng(6)
+    B, H, Hkv, L, Dh = 2, 4, 2, 512, 64
+    layout = BlockLayout(480, 64, ((64, 180), (200, 330), (340, 460)), 460)
+    d, nb, sul = layout_to_metadata(layout, doc_neighbors=[[1], [2], [0]],
+                                    pad_to=L)
+    d = jnp.asarray(np.stack([d] * B))
+    nb = jnp.asarray(np.stack([nb] * B))
+    q = jnp.asarray(rng.standard_normal((B, H, L, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, L, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, L, Dh)), jnp.float32)
+    sul_a = jnp.array([sul] * B)
+    vl_a = jnp.array([480, 512])
+
+    ref = np.asarray(sdag_attention_reference(q, k, v, d, nb, sul_a, vl_a))
+    out = np.asarray(sdag_splash_attention(
+        q, k, v, d, nb, sul_a, vl_a, block_q=64, block_k=64,
+        interpret=True))
+    np.testing.assert_allclose(out[:, :, :480], ref[:, :, :480], atol=3e-2)
+
+    # q-slice with global offset (context-parallel shard shape)
+    s, e = 128, 256
+    part = np.asarray(sdag_splash_attention(
+        q[:, :, s:e], k, v, d, nb, sul_a, vl_a,
+        doc_id_q=d[:, s:e], nbr_bits_q=nb[:, s:e],
+        q_offset=jnp.full((B,), s, jnp.int32),
+        block_q=64, block_k=64, interpret=True))
+    np.testing.assert_allclose(part, ref[:, :, s:e], atol=3e-2)
+
+    # dispatcher route: a prefill_mask_plan resolved to splash carries the
+    # precomputed kinds through sdag_prefill_attention
+    plan = prefill_mask_plan(q, k, d, nb, sul_a, valid_len=vl_a,
+                             impl="pallas_splash", block_q=64, block_k=64)
+    assert plan["impl"] == "pallas_splash" and plan["mask_tiles"] is None
+    via = np.asarray(sdag_prefill_attention(
+        q, k, v, d, nb, sul_a, valid_len=vl_a, mask_plan=plan,
+        interpret=True))
+    np.testing.assert_allclose(via[:, :, :480], ref[:, :, :480], atol=3e-2)
+
+
+def test_prefill_dispatch_picks_splash_beyond_kvres_budget():
+    """Beyond the KV-resident VMEM budget the auto dispatcher must choose
+    the splash schedule, not the tile-streaming grid kernel (VERDICT r3
+    item 4: the grid kernel DMAs every tile including SKIPs — exactly the
+    regime splash exists for)."""
+    from sdag_tpu.ops.attention import _resolve_prefill_impl
+    small = jax.ShapeDtypeStruct((1, 16, 4096, 128), jnp.bfloat16)
+    big = jax.ShapeDtypeStruct((1, 16, 32768, 128), jnp.bfloat16)
+    assert _resolve_prefill_impl(small, small, "pallas") == "pallas_kvres"
+    assert _resolve_prefill_impl(big, big, "pallas") == "pallas_splash"
+
+
 def test_block_kinds_q_offset_slices():
     """Kinds for a q-row slice with offset == the matching rows of the full
     classification."""
