@@ -36,7 +36,7 @@ from sdag_tpu.utils.synth_qa import (load_world, write_attack_csv,
 
 def run_grid(ckpt: str, out_dir: str, n_mal: int, positions, top_k: int,
              temperature: float, platform: str,
-             speculative: int = 0) -> dict:
+             speculative: int = 0, neighbors_k: int = 0) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     world = load_world(os.path.join(ckpt, "world.json"))
     corpus = os.path.join(out_dir, "corpus.jsonl")
@@ -44,7 +44,10 @@ def run_grid(ckpt: str, out_dir: str, n_mal: int, positions, top_k: int,
     write_corpus_jsonl(world, corpus)
     facts = write_attack_csv(world, attack, world.eval_entities,
                              n_mal=n_mal, seed=world.seed + 1)
-    run_out = os.path.join(out_dir, f"nmal{n_mal}")
+    # k=0 keeps the original directory names (nmal1/...), so earlier rounds'
+    # results stay addressable
+    suffix = f"_k{neighbors_k}" if neighbors_k else ""
+    run_out = os.path.join(out_dir, f"nmal{n_mal}{suffix}")
     cfg = {
         "SAMPLE_SIZE": len(facts),
         # pairs zip elementwise (reference semantics): repeat top_k
@@ -59,6 +62,7 @@ def run_grid(ckpt: str, out_dir: str, n_mal: int, positions, top_k: int,
         "MAX_MALICIOUS_DOCS_PER_QUERY": n_mal,
         "MALICIOUS_DOC_SELECTION_STRATEGY": "random",
         "LLM_CHECKPOINT": ckpt,
+        "DOC_NEIGHBORS_K": neighbors_k,
         "SPECULATIVE_DRAFT_LEN": speculative,
         "LLM_BATCH_SIZE": 16,
         "BATCH_SIZE_EMBED_Q": 32,
@@ -87,7 +91,8 @@ def run_grid(ckpt: str, out_dir: str, n_mal: int, positions, top_k: int,
         fh.write(proc.stdout)
         fh.write("\n--- stderr ---\n" + proc.stderr[-20000:])
     status = {"rc": proc.returncode, "wall_s": round(wall, 1),
-              "n_queries": len(facts), "n_mal": n_mal}
+              "n_queries": len(facts), "n_mal": n_mal,
+              "neighbors_k": neighbors_k}
     for line in proc.stdout.splitlines():
         if line.startswith("[spec] "):   # measured acceptance report
             status["spec_report"] = line
@@ -130,28 +135,37 @@ def main() -> None:
                         "the TRAINED copy-from-context workload this is "
                         "the meaningful acceptance number (the random-"
                         "weight grids measure ~0 by construction)")
+    p.add_argument("--neighbors-k", type=int, nargs="+", default=[0],
+                   help="DOC_NEIGHBORS_K sweep: 0 = strict isolation "
+                        "(reference default); k>0 opens full-attention "
+                        "windows to each doc's k nearest neighbor docs "
+                        "(SDAG.py:356-359) — the knob that trades "
+                        "isolation (ASR suppression) for cross-doc "
+                        "evidence flow")
     args = p.parse_args()
 
     summary = {}
     for n_mal in args.n_mal:
-        summary[n_mal] = run_grid(args.ckpt, args.out, n_mal,
-                                  args.positions, args.top_k,
-                                  args.temperature, args.platform,
-                                  speculative=args.speculative)
+        for nk in args.neighbors_k:
+            summary[(n_mal, nk)] = run_grid(
+                args.ckpt, args.out, n_mal, args.positions, args.top_k,
+                args.temperature, args.platform,
+                speculative=args.speculative, neighbors_k=nk)
 
     lines = ["# SDAG effect (tiny trained decoder, held-out entities)", "",
-             "| n_mal | attack pos | ACC iso | ACC noiso | ASR iso | "
-             "ASR noiso |", "|---|---|---|---|---|---|"]
-    for n_mal, rows in summary.items():
+             "| n_mal | nbr_k | attack pos | ACC iso | ACC noiso | ASR iso | "
+             "ASR noiso |", "|---|---|---|---|---|---|---|"]
+    for (n_mal, nk), rows in summary.items():
         for pos, r in rows.items():
             lines.append(
-                f"| {n_mal} | {pos} | {r['acc_iso']:.3f} | "
+                f"| {n_mal} | {nk} | {pos} | {r['acc_iso']:.3f} | "
                 f"{r['acc_noiso']:.3f} | {r['asr_iso']:.3f} | "
                 f"{r['asr_noiso']:.3f} |")
     table = "\n".join(lines)
     print(table)
     with open(os.path.join(args.out, "summary.json"), "w") as fh:
-        json.dump({str(k): v for k, v in summary.items()}, fh, indent=1)
+        json.dump({f"{k[0]}_k{k[1]}": v for k, v in summary.items()},
+                  fh, indent=1)
     with open(os.path.join(args.out, "SUMMARY.md"), "w") as fh:
         fh.write(table + "\n")
 

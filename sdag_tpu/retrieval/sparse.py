@@ -220,6 +220,7 @@ class BM25Index:
         self.heavy_cols = None
         self.heavy_rows = None
         self.heavy_row_of = None
+        self._w_profile: Optional[List[int]] = None
         self.rows_per_shard = term_ids.shape[0] // self.n_shards
         if self.engine != "postings":
             return
@@ -333,6 +334,33 @@ class BM25Index:
             w_slots.append(ws)
         return q_terms, q_weights, tuple(w_slots), hrow
 
+    def _merge_window_profile(self, w_slots: Tuple[int, ...]
+                              ) -> Tuple[int, ...]:
+        """Compile-stability memo.  ``w_slots`` is a STATIC jit argument,
+        so every new tuple costs a full kernel compile — through the axon
+        relay that is minutes per batch (the hotpotqa1000_random_sparse
+        full-scale run spent 1413.5s on 16 retrieve batches, ~88s each,
+        one distinct window profile per batch; nq's later run hit the warm
+        cache at 2s/batch).  Gather windows are masked by each term's
+        actual df (ops/bm25.py ``_postings_runs`` ``valid``), so running
+        with elementwise-LARGER windows is exact — just wasted gathers.
+        Keep a per-index profile that only grows (elementwise max of needs
+        seen) and reuse it while it fits the candidate budget: repeated
+        searches converge to O(log) distinct compiles instead of one per
+        batch, at the cost of gathering at most the worst batch's window
+        count."""
+        prof = self._w_profile
+        if prof is not None and len(prof) == len(w_slots):
+            merged = tuple(max(a, b) for a, b in zip(prof, w_slots))
+        else:
+            merged = tuple(w_slots)
+        if sum(merged) * self.POSTINGS_WINDOW <= self._candidate_budget():
+            self._w_profile = list(merged)
+            return merged
+        # an oversized merge would trip the budget that each need alone
+        # respected: run this batch at its own need, leave the profile
+        return tuple(w_slots)
+
     # ------------------------------------------------------------- search
     def encode_queries(self, queries: Sequence[str]
                        ) -> Tuple[np.ndarray, np.ndarray]:
@@ -390,6 +418,8 @@ class BM25Index:
                       "back to the scan engine for this batch.",
                       flush=True)
                 use_postings = False
+            else:
+                w_slots = self._merge_window_profile(w_slots)
         if use_postings and self.n_shards > 1:
             if use_heavy:
                 from sdag_tpu.parallel.collectives import \

