@@ -57,7 +57,8 @@ AUX_LM_WEIGHT = 0.1
 def build_example(rng: np.random.Generator, tokenizer, fact: Fact,
                   pool: Optional[List[Fact]], k: int, iso: bool,
                   seq_len: int, styled_frac: float = 0.3,
-                  dup_frac: float = 0.25) -> Optional[Dict[str, np.ndarray]]:
+                  dup_frac: float = 0.25,
+                  nbr_frac: float = 0.0) -> Optional[Dict[str, np.ndarray]]:
     """One training example: k-doc RAG prompt (GT doc at a random rank,
     distractors drawn from other facts) + the answer.  Loss weights: 1.0
     on the answer tokens, AUX_LM_WEIGHT on the whole prompt — the
@@ -81,7 +82,16 @@ def build_example(rng: np.random.Generator, tokenizer, fact: Fact,
     dup_frac>0 teaches the model that cross-doc repetition is normal
     evidence, which AMPLIFIES repeated-claim poisoning in both modes and
     narrows the ISO-vs-NOISO ASR gap; styled_frac alone fixes the
-    template shock without that side effect."""
+    template shock without that side effect.
+
+    nbr_frac>0 renders that fraction of ISO examples with RANDOM
+    neighbor windows (each doc attends 1..4 random other docs —
+    the mask family DOC_NEIGHBORS_K serving produces via doc-KNN,
+    reference ``SDAG.py:356-359``).  A model trained only on the
+    {strict-ISO, causal} endpoints collapses on intermediate masks:
+    the r4 k-sweep on the nbr_frac=0 checkpoint measured clean ACC
+    0.917 -> 0.177 (k=2) -> 0.010 (k=4) with ASR falling too — pure
+    out-of-distribution garbage, not an isolation trade."""
     def render(f: Fact) -> str:
         if rng.random() < styled_frac:
             return styled_fact_doc(f, int(rng.integers(0, 5)))
@@ -105,7 +115,16 @@ def build_example(rng: np.random.Generator, tokenizer, fact: Fact,
     ids = list(plan.input_ids) + ans
     if len(ids) > seq_len:
         return None
-    doc_id, nbr_bits, sys_len = plan.metadata(pad_to=seq_len)
+    neighbors = None
+    n_docs = len(docs)
+    if iso and n_docs > 1 and rng.random() < nbr_frac:
+        nbr_k = int(rng.integers(1, 5))
+        neighbors = [rng.choice([j for j in range(n_docs) if j != i],
+                                size=min(nbr_k, n_docs - 1),
+                                replace=False).tolist()
+                     for i in range(n_docs)]
+    doc_id, nbr_bits, sys_len = plan.metadata(doc_neighbors=neighbors,
+                                              pad_to=seq_len)
     if not iso:
         doc_id = np.full_like(doc_id, -1)
         sys_len = 0
@@ -139,7 +158,7 @@ def _collect_examples(n: int, make_one) -> List[Dict[str, np.ndarray]]:
 def _train_example(rng: np.random.Generator, tokenizer,
                    pool: Optional[List[Fact]], seq_len: int, k_min: int,
                    k_max: int, iso_frac: float, styled_frac: float,
-                   dup_frac: float):
+                   dup_frac: float, nbr_frac: float = 0.0):
     """One training example: fresh pseudoword fact in stream mode
     (pool=None), random doc count, coin-flipped ISO/causal prefill."""
     fact = random_fact(rng) if pool is None \
@@ -148,29 +167,32 @@ def _train_example(rng: np.random.Generator, tokenizer,
     return build_example(rng, tokenizer, fact, pool, k,
                          iso=bool(rng.random() < iso_frac),
                          seq_len=seq_len, styled_frac=styled_frac,
-                         dup_frac=dup_frac)
+                         dup_frac=dup_frac, nbr_frac=nbr_frac)
 
 
 def sample_batch(rng: np.random.Generator, tokenizer,
                  pool: Optional[List[Fact]], batch: int, seq_len: int,
                  k_min: int = 2, k_max: int = 10,
                  iso_frac: float = 0.5, styled_frac: float = 0.3,
-                 dup_frac: float = 0.25) -> Dict[str, jnp.ndarray]:
+                 dup_frac: float = 0.25,
+                 nbr_frac: float = 0.0) -> Dict[str, jnp.ndarray]:
     """pool=None = stream mode: every example's facts are fresh
     pseudowords, so the model can only learn answer-from-context."""
     exs = _collect_examples(batch, lambda: _train_example(
         rng, tokenizer, pool, seq_len, k_min, k_max, iso_frac,
-        styled_frac, dup_frac))
+        styled_frac, dup_frac, nbr_frac))
     return {key: jnp.asarray(np.stack([e[key] for e in exs]))
             for key in exs[0]}
 
 
 # Wire compression for the remote-relay link: ids fit in int16 (byte vocab),
-# doc_id/nbr_bits in int8 (<=31 docs), loss_mask in f16 (fractional aux
-# weights) — ~4x fewer bytes per uploaded batch.  Decompressed on device
-# inside the scan body.
+# doc_id in int8 (<=31 docs), loss_mask in f16 (fractional aux weights) —
+# ~4x fewer bytes per uploaded batch.  Decompressed on device inside the
+# scan body.  nbr_bits is a BITMASK over doc ids (bit d set when the token
+# may attend doc d in full) — int8 silently truncated it past 7 docs, so
+# it rides as int32.
 _WIRE_DTYPES = {"input_ids": np.int16, "targets": np.int16,
-                "doc_id": np.int8, "nbr_bits": np.int8,
+                "doc_id": np.int8, "nbr_bits": np.int32,
                 "sys_user_len": np.int32, "valid_len": np.int32,
                 "loss_mask": np.float16}
 
@@ -192,13 +214,14 @@ def sample_batch_stack(rng: np.random.Generator, tokenizer,
                        pool: Optional[List[Fact]], chunk: int, batch: int,
                        seq_len: int, k_min: int = 2, k_max: int = 10,
                        iso_frac: float = 0.5, styled_frac: float = 0.3,
-                       dup_frac: float = 0.25) -> Dict[str, np.ndarray]:
+                       dup_frac: float = 0.25,
+                       nbr_frac: float = 0.0) -> Dict[str, np.ndarray]:
     """[S, B, ...] stack of S compressed batches for the scan driver."""
     stacks = []
     for _ in range(chunk):
         exs = _collect_examples(batch, lambda: _train_example(
             rng, tokenizer, pool, seq_len, k_min, k_max, iso_frac,
-            styled_frac, dup_frac))
+            styled_frac, dup_frac, nbr_frac))
         stacks.append(compress_batch_np(exs))
     return {k: np.stack([s[k] for s in stacks]) for k in stacks[0]}
 
@@ -215,12 +238,13 @@ def teacher_forced_eval(params, cfg: DecoderConfig, tokenizer,
         p, cfg, b["input_ids"], doc_id=b["doc_id"], nbr_bits=b["nbr_bits"],
         sys_user_len=b["sys_user_len"], valid_len=b["valid_len"],
         attn_impl="xla", with_cache=False)[0])
-    for mode, iso in (("iso", True), ("noiso", False)):
+    for mode, iso, nf in (("iso", True, 0.0), ("noiso", False, 0.0),
+                          ("iso_nbr", True, 1.0)):
         def one():
             fact = eval_pool[int(rng.integers(len(eval_pool)))]
             return build_example(rng, tokenizer, fact,
                                  distract_pool + [fact], k, iso=iso,
-                                 seq_len=seq_len)
+                                 seq_len=seq_len, nbr_frac=nf)
 
         exs = _collect_examples(n, one)
         batch = {key: jnp.asarray(np.stack([e[key] for e in exs]))
@@ -264,6 +288,11 @@ def main(argv: Optional[List[str]] = None) -> None:
                    help="fraction of contexts repeating the GT fact 2..k "
                         "times (0 preserves the ISO-gap — see "
                         "build_example ablation caveat)")
+    p.add_argument("--nbr-frac", type=float, default=0.25,
+                   help="fraction of ISO examples rendered with random "
+                        "neighbor windows (1..4 random docs each) so "
+                        "DOC_NEIGHBORS_K serving masks are in-"
+                        "distribution; 0 reproduces the r3 recipe")
     p.add_argument("--mesh-data", type=int, default=0)
     p.add_argument("--scan-chunk", type=int, default=25,
                    help="steps per jitted lax.scan call (amortizes "
@@ -321,7 +350,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     extra = {"trained_on": "synth_qa", "steps": args.steps,
              "entities": args.entities, "seed": args.seed,
              "k_max": args.k_max, "seq_len": args.seq_len,
-             "styled_frac": args.styled_frac, "dup_frac": args.dup_frac}
+             "styled_frac": args.styled_frac, "dup_frac": args.dup_frac,
+             "nbr_frac": args.nbr_frac}
 
     def save(st, tag=""):
         save_decoder(st.params, cfg, args.out, extra=extra)
@@ -340,7 +370,8 @@ def main(argv: Optional[List[str]] = None) -> None:
                                          k_min=args.k_min,
                                          k_max=args.k_max,
                                          styled_frac=args.styled_frac,
-                                         dup_frac=args.dup_frac)
+                                         dup_frac=args.dup_frac,
+                                         nbr_frac=args.nbr_frac)
             state, ls = scan_fn(state, {k: jnp.asarray(v)
                                         for k, v in stacked.items()})
             losses.extend(float(x) for x in np.asarray(ls))
@@ -350,7 +381,8 @@ def main(argv: Optional[List[str]] = None) -> None:
                                  args.seq_len, k_min=args.k_min,
                                  k_max=args.k_max,
                                  styled_frac=args.styled_frac,
-                                 dup_frac=args.dup_frac)
+                                 dup_frac=args.dup_frac,
+                                 nbr_frac=args.nbr_frac)
             state, loss = step_fn(state, batch)
             losses.append(float(loss))
             step += 1
