@@ -19,6 +19,8 @@ import time
 
 
 def main(argv=None) -> None:
+    from sdag_tpu.utils.platform import maybe_force_platform
+    maybe_force_platform()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("corpus_jsonl")
     p.add_argument("out_dir")

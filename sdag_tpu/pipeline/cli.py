@@ -6,21 +6,12 @@ Same invocation shape as the reference
 
 from __future__ import annotations
 
-import os
 import sys
 
 
-def _maybe_force_platform() -> None:
-    """SDAG_FORCE_PLATFORM=cpu runs the pipeline on CPU even where a
-    sitecustomize pins a TPU plugin (the env var JAX_PLATFORMS alone is
-    not honored there); must run before any jax backend use."""
-    plat = os.environ.get("SDAG_FORCE_PLATFORM")
-    if plat:
-        import jax
-        jax.config.update("jax_platforms", plat)
+from sdag_tpu.utils.platform import maybe_force_platform
 
-
-_maybe_force_platform()
+maybe_force_platform()
 
 from sdag_tpu.config import make_config                       # noqa: E402
 from sdag_tpu.pipeline.orchestrator import run_experiment     # noqa: E402

@@ -264,6 +264,8 @@ def teacher_forced_eval(params, cfg: DecoderConfig, tokenizer,
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    from sdag_tpu.utils.platform import maybe_force_platform
+    maybe_force_platform()
     p = argparse.ArgumentParser()
     p.add_argument("--out", required=True)
     p.add_argument("--steps", type=int, default=3000)
