@@ -86,9 +86,10 @@ def build_generator(cfg: Config) -> Generator:
     dec_cfg = _decoder_config(cfg.LLM_ARCH)
     if is_native_checkpoint(cfg.LLM_CHECKPOINT):
         # trained-in-repo checkpoint (e.g. the synthetic-QA decoder from
-        # pipeline/train_qa.py): byte tokenizer, npz params
+        # pipeline/train_qa.py): npz params + the tokenizer trained with
+        # (word_tokenizer.json if present, byte fallback else)
         from sdag_tpu.models.native_ckpt import load_decoder
-        tok = load_tokenizer("")
+        tok = load_tokenizer(cfg.LLM_CHECKPOINT)
         params, dec_cfg = load_decoder(cfg.LLM_CHECKPOINT)
     elif cfg.LLM_CHECKPOINT:
         from sdag_tpu.models.hf_convert import load_decoder_checkpoint

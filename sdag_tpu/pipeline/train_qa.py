@@ -302,10 +302,20 @@ def main(argv: Optional[List[str]] = None) -> None:
                         "per-step dispatch")
     p.add_argument("--save-every", type=int, default=0,
                    help="also checkpoint every N steps (resumable)")
+    p.add_argument("--tokenizer", choices=["byte", "word"], default="byte",
+                   help="word = closed-vocab WordTokenizer over the synth "
+                        "world (~3-4x shorter sequences; pair with a "
+                        "smaller --seq-len); saved with the checkpoint "
+                        "and auto-loaded at serve time")
     args = p.parse_args(argv)
 
     world = make_world(args.entities, seed=args.seed)
-    tokenizer = ByteTokenizer()
+    if args.tokenizer == "word":
+        from sdag_tpu.models.tokenizer import WordTokenizer
+        from sdag_tpu.utils.synth_qa import synth_word_vocab
+        tokenizer = WordTokenizer(synth_word_vocab())
+    else:
+        tokenizer = ByteTokenizer()
     cfg = DecoderConfig(vocab_size=tokenizer.vocab_size,
                         d_model=args.d_model, n_layers=args.layers,
                         n_heads=args.heads, n_kv_heads=args.kv_heads,
@@ -355,9 +365,13 @@ def main(argv: Optional[List[str]] = None) -> None:
              "styled_frac": args.styled_frac, "dup_frac": args.dup_frac,
              "nbr_frac": args.nbr_frac}
 
+    extra["tokenizer"] = args.tokenizer
+
     def save(st, tag=""):
         save_decoder(st.params, cfg, args.out, extra=extra)
         save_world(world, os.path.join(args.out, "world.json"))
+        if args.tokenizer == "word":
+            tokenizer.save(args.out)
         if tag:
             print(f"[train_qa] saved checkpoint ({tag})", flush=True)
 

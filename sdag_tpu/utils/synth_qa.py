@@ -173,6 +173,51 @@ def make_world(n_entities: int = 64, attrs: Sequence[str] = ATTRS,
                  eval_entities=eval_entities, seed=seed)
 
 
+def synth_word_vocab() -> List[str]:
+    """Deterministic closed piece vocabulary covering the synthetic world
+    for models.tokenizer.WordTokenizer.
+
+    Coverage argument: every pseudoword this module can emit is a
+    concatenation of the 70 CV syllables (``_pseudoword``), every answer
+    value is one of the 256 ``value_lexicon`` words, and every other
+    word/punctuation/whitespace piece comes from the fixed templates
+    harvested below — so encoding never falls back to bytes on synthetic
+    text (real attack CSVs still round-trip via the byte fallback)."""
+    from sdag_tpu.models.tokenizer import iter_pieces
+    from sdag_tpu.utils import prompts
+
+    f = Fact("kado", "capital", "bodiku")
+    samples = [
+        prompts.SYSTEM_PROMPT_RAG,
+        prompts.USER_RAG_PROMPT.format(docs_text="x", query="x"),
+        prompts.RAG_PROMPT_BEFORE_DOCS, prompts.RAG_DOC_SEPARATOR,
+        prompts.RAG_PROMPT_AFTER_DOCS.format(query="x"),
+        prompts.render_doc("x"),
+        fact_doc(f), fact_query(f), "system user assistant NA",
+        "\n\n", "  ",
+    ]
+    samples += [" ".join(ATTRS), " " + " ".join(ATTRS)]
+    samples += [_styled_claim(f, "bodiku", v) for v in range(5)]
+    pieces: List[str] = []
+    for s in samples:
+        for p in iter_pieces(s):
+            pieces.append(p)
+            # both surface forms of every word: line-start (bare) and
+            # mid-sentence (space-prefixed)
+            if p.startswith(" ") and p[1:].strip():
+                pieces.append(p[1:])
+            elif p[:1].isalnum():
+                pieces.append(" " + p)
+    for d in "0123456789":
+        pieces += [d, " " + d]
+    for c in _CONS:
+        for v in _VOWS:
+            pieces += [c + v, " " + c + v]
+    for w in _VALUE_LEXICON:
+        pieces += [w, " " + w]
+    return sorted(dict.fromkeys(pieces))
+
+
 # ------------------------------------------------------------------- I/O
 
 def write_corpus_jsonl(world: World, path: str) -> None:

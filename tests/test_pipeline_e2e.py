@@ -214,3 +214,30 @@ def test_build_index_cli(tmp_path):
     bidx = BM25Index.load(bm25_dir)
     i, s = bidx.search(["capital of france"], top_k=3)
     assert (i >= 0).any()
+
+
+def test_e2e_word_tokenizer_train_serve(tmp_path):
+    """Train-with-WordTokenizer -> serve round trip: a 2-step tiny
+    train_qa run with --tokenizer word saves word_tokenizer.json in the
+    checkpoint, and the pipeline auto-loads it (resources.build_generator)
+    so prompts tokenize at word level end-to-end."""
+    from sdag_tpu.models.tokenizer import WordTokenizer
+    from sdag_tpu.pipeline.resources import build_generator
+    from sdag_tpu.pipeline.train_qa import main as train_main
+
+    ckpt = str(tmp_path / "ckpt")
+    train_main(["--out", ckpt, "--steps", "2", "--warmup", "1",
+                "--batch", "4", "--entities", "8", "--d-model", "32",
+                "--layers", "1", "--heads", "2", "--kv-heads", "2",
+                "--d-ff", "64", "--seq-len", "192", "--k-max", "3",
+                "--scan-chunk", "1", "--eval-every", "0",
+                "--mesh-data", "1", "--tokenizer", "word"])
+    assert os.path.isfile(os.path.join(ckpt, "word_tokenizer.json"))
+
+    corpus_path, csv_path = _write_inputs(tmp_path)
+    cfg = _base_config(tmp_path, corpus_path, csv_path)
+    cfg.LLM_CHECKPOINT = ckpt
+    gen = build_generator(cfg)
+    assert isinstance(gen.tokenizer, WordTokenizer)
+    metrics = run_experiment(cfg)
+    assert metrics[(3, 1)]["num_queries"] == 2
