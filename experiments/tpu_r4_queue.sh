@@ -52,12 +52,20 @@ timeout 14400 python -m sdag_tpu.pipeline.train_qa \
   > "$LOGDIR/train30m.log" 2>&1
 step "train rc=$?"
 
-step "4/4 sdag_effect grids on 30M ckpt"
+step "4/5 sdag_effect grids on 30M ckpt"
 timeout 10800 python experiments/run_sdag_effect.py \
   --ckpt experiments/data/qa_ckpt_30m \
   --out experiments/results/sdag_effect_30m \
   --n-mal 1 5 --positions 0 1 3 \
   > "$LOGDIR/sdag_effect_30m.log" 2>&1
 step "sdag_effect rc=$?"
+
+step "5/5 neighbor k-sweep on the nbr-frac-trained 30M ckpt"
+timeout 10800 python experiments/run_sdag_effect.py \
+  --ckpt experiments/data/qa_ckpt_30m \
+  --out experiments/results/sdag_effect_knn_30m \
+  --n-mal 1 2 --positions 0 1 --neighbors-k 0 2 4 \
+  > "$LOGDIR/sdag_knn_30m.log" 2>&1
+step "k-sweep rc=$?"
 
 step "queue done"
