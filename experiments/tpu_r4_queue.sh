@@ -68,4 +68,12 @@ timeout 10800 python experiments/run_sdag_effect.py \
   > "$LOGDIR/sdag_knn_30m.log" 2>&1
 step "k-sweep rc=$?"
 
+step "6/6 speculation e2e on the trained 30M workload (vs step-4 plain)"
+timeout 7200 python experiments/run_sdag_effect.py \
+  --ckpt experiments/data/qa_ckpt_30m \
+  --out experiments/results/sdag_effect_30m_spec8 \
+  --n-mal 1 --positions 0 1 --speculative 8 \
+  > "$LOGDIR/sdag_spec_30m.log" 2>&1
+step "spec rc=$?"
+
 step "queue done"
