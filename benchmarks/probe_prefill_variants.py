@@ -97,7 +97,12 @@ def main():
                 return jax.lax.fori_loop(0, n, body, 0.0)
             return loop
         t0 = time.time()
-        ms = timed_delta(make_loop, q, k, v, di, nb)
+        try:
+            ms = timed_delta(make_loop, q, k, v, di, nb)
+        except Exception as e:  # one broken variant must not kill the probe
+            print(f"[variant] {name}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+            return float("inf")
         print(f"[variant] {name}: {ms:.3f} ms   (section {time.time()-t0:.0f}s)",
               flush=True)
         return ms
@@ -138,6 +143,23 @@ def main():
         "causal_splash",
         lambda q, k, v, di, nb, s: sdag_splash_attention(
             q, k, v, di, nb, s, block_q=512, block_k=512),
+        causal_id, zeros, 0)
+    # r4: KV-resident + packed live-tile worklist (fori_loop over live
+    # tiles only — no SKIP branches, kernel body emitted once)
+    res["kvres_wl_512"] = bench(
+        "kvres_wl_512",
+        lambda q, k, v, di, nb, s: sdag_flash_attention_kvres(
+            q, k, v, di, nb, s, block_q=512, block_k=512, worklist=True),
+        doc_id, nbr, sys_len)
+    res["kvres_wl_256"] = bench(
+        "kvres_wl_256",
+        lambda q, k, v, di, nb, s: sdag_flash_attention_kvres(
+            q, k, v, di, nb, s, block_q=256, block_k=256, worklist=True),
+        doc_id, nbr, sys_len)
+    res["causal_kvres_wl"] = bench(
+        "causal_kvres_wl",
+        lambda q, k, v, di, nb, s: sdag_flash_attention_kvres(
+            q, k, v, di, nb, s, block_q=512, block_k=512, worklist=True),
         causal_id, zeros, 0)
 
     base = res["causal_kvres"]

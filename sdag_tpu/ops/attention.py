@@ -454,7 +454,8 @@ def sdag_flash_attention(q, k, v, doc_id, nbr_bits, sys_user_len,
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "scale",
-                                             "interpret", "use_mask_tiles"))
+                                             "interpret", "use_mask_tiles",
+                                             "worklist"))
 def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
                                valid_len=None,
                                block_q: Optional[int] = None,
@@ -463,7 +464,8 @@ def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
                                interpret: bool = False,
                                doc_id_q=None, nbr_bits_q=None, q_offset=None,
                                use_mask_tiles: bool = False,
-                               kinds=None, mask_tiles=None):
+                               kinds=None, mask_tiles=None,
+                               worklist: bool = False):
     """KV-resident block-sparse flash attention.
 
     Same contract as ``sdag_flash_attention``, different schedule: the grid
@@ -479,6 +481,17 @@ def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
     Requires K+V for one (b, kv-head) to fit VMEM: L*Dh*itemsize*2 ⪅ 8MB
     (L=16k bf16 at Dh=128 is 8MB).  Callers should fall back to
     ``sdag_flash_attention`` beyond that.
+
+    ``worklist=True`` swaps the static unroll over all nk key tiles for a
+    ``fori_loop`` over a packed per-(b, q-block) list of LIVE tiles (the
+    splash worklist, but against VMEM-resident K/V — no DMA machinery).
+    The static unroll pays one branch per SKIP tile and emits nk copies of
+    the tile body; at prefill geometries where most tiles are SKIP the
+    per-step fixed cost caps the structural speedup (measured 1.14x at
+    L=4096/20 docs, VERDICT r3 item 4).  The worklist visits exactly the
+    live tiles: compute scales with visible area.  Incompatible with
+    use_mask_tiles (dynamic tile index vs streamed strip); the in-kernel
+    rule is used.
     """
     B, H, Lq, Dh = q.shape
     L = k.shape[2]
@@ -520,6 +533,13 @@ def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
     kf = k.reshape(B * n_kv, L, Dh)
     vf = v.reshape(B * n_kv, L, Dh)
     nq, nk = Lq // block_q, L // block_k
+
+    if worklist:
+        return _kvres_worklist_call(
+            qf, kf, vf, meta, kinds, doc_id, doc_id_q, nbr_bits_q,
+            B=B, H=H, n_kv=n_kv, n_rep=n_rep, Lq=Lq, L=L, Dh=Dh,
+            block_q=block_q, block_k=block_k, scale=scale,
+            interpret=interpret, out_dtype=q.dtype)
 
     def kv_index(bh, qi, meta, kinds):
         return ((bh // H) * n_kv + (bh % H) // n_rep, 0, 0)
@@ -675,6 +695,123 @@ def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
         interpret=interpret,
     )(*args)
 
+    return out.reshape(B, H, Lq, Dh)
+
+
+def _kvres_worklist_call(qf, kf, vf, meta, kinds, doc_id, doc_id_q,
+                         nbr_bits_q, *, B, H, n_kv, n_rep, Lq, L, Dh,
+                         block_q, block_k, scale, interpret, out_dtype):
+    """KV-resident schedule driven by a packed live-tile worklist — the
+    ``worklist=True`` body of :func:`sdag_flash_attention_kvres`.  K/V for
+    the (b, kv-head) stay resident in VMEM exactly like the unrolled kvres
+    kernel; the inner loop is a dynamic ``fori_loop`` over only the tiles
+    `_pack_kv_lists` marked live, so SKIP tiles cost zero branches and the
+    kernel body is emitted once instead of nk times."""
+    counts, kv_list, kind_list = _pack_kv_lists(kinds)
+    nq, nk = Lq // block_q, L // block_k
+
+    def kv_index(bh, qi, *_):
+        return ((bh // H) * n_kv + (bh % H) // n_rep, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # meta, counts, kv_list, kind_list
+        grid=(B * H, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, Dh), lambda bh, qi, *_: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, Dh), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, Dh), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, block_q), lambda bh, qi, *_: (0, qi),
+                         memory_space=pltpu.VMEM),
+            # KEY doc_id pre-tiled [B, nK, block_k]: the dynamic kv_idx
+            # lookup lands on a sublane dim at lane offset 0 (same Mosaic
+            # rule the splash kernel obeys)
+            pl.BlockSpec((B, nk, block_k), lambda bh, qi, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, block_q), lambda bh, qi, *_: (0, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, Dh),
+                               lambda bh, qi, *_: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, Dh), jnp.float32),
+        ],
+    )
+
+    def kernel(meta_smem, counts_smem, kvlist_smem, kindlist_smem,
+               q_ref, k_ref, v_ref, dq_ref, dall_ref, nbr_ref,
+               out_ref, m_s, l_s, acc_s):
+        bh = pl.program_id(0)
+        qi = pl.program_id(1)
+        b = bh // H
+        cnt = counts_smem[b, qi]
+        sul = meta_smem[b, 0]
+        vl = meta_smem[b, 1]
+        qoff = meta_smem[b, 2]
+
+        m_s[:] = jnp.full_like(m_s, -jnp.inf)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+        qb = q_ref[0].astype(jnp.bfloat16)
+        dq = dq_ref[b, :].reshape(block_q, 1)
+        nbr_q = nbr_ref[b, :].reshape(block_q, 1)
+        i = qoff + qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+
+        def body(t, _):
+            kv_idx = kvlist_smem[b, qi, t]
+            kind = kindlist_smem[b, qi, t]
+            kb = k_ref[0, pl.ds(kv_idx * block_k, block_k), :]
+            vb = v_ref[0, pl.ds(kv_idx * block_k, block_k), :]
+            s = jax.lax.dot_general(
+                qb, kb.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+
+            def apply_mask(s):
+                j = kv_idx * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1)
+                dk = dall_ref[b, kv_idx, :].reshape(1, block_k)
+                mask = _tile_mask(i, j, dq, dk, nbr_q, sul, vl)
+                return jnp.where(mask, s, -jnp.inf)
+
+            # PARTIAL and CAUSAL both evaluate the exact rule (it subsumes
+            # causal&valid); only FULL skips the VPU mask work
+            s = jax.lax.cond(kind != BLOCK_FULL, apply_mask, lambda s: s, s)
+
+            m_prev = m_s[:]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            safe_m = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
+            alpha = jnp.where(jnp.isneginf(m_prev), 0.0,
+                              jnp.exp(m_prev - safe_m))
+            p = jnp.exp(s - safe_m)
+            l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_s[:] = acc_s[:] * alpha + jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vb.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_s[:] = m_new
+            return 0
+
+        jax.lax.fori_loop(0, cnt, body, 0)
+        l = l_s[:]
+        out_ref[0, :] = (acc_s[:] /
+                         jnp.where(l == 0.0, 1.0, l)).astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * H, Lq, Dh), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(meta, counts, kv_list, kind_list, qf, kf, vf, doc_id_q,
+      doc_id.reshape(B, nk, block_k), nbr_bits_q)
     return out.reshape(B, H, Lq, Dh)
 
 

@@ -239,6 +239,55 @@ def test_kvres_kernel_matches_reference():
     np.testing.assert_allclose(part, ref[:, :, s:e], atol=3e-2)
 
 
+def test_kvres_worklist_matches_reference():
+    """worklist=True (fori_loop over packed live tiles against VMEM-resident
+    K/V) == dense-mask reference, incl. GQA heads, random layouts and the
+    context-parallel q_offset path."""
+    from sdag_tpu.ops.attention import (sdag_attention_reference,
+                                        sdag_flash_attention_kvres)
+    from sdag_tpu.sdag.mask import BlockLayout, layout_to_metadata
+
+    rng = np.random.default_rng(11)
+    B, H, Hkv, L, Dh = 2, 4, 2, 512, 64
+    layout = BlockLayout(480, 64, ((64, 180), (200, 330), (340, 460)), 460)
+    d, nb, sul = layout_to_metadata(layout, doc_neighbors=[[1], [2], [0]],
+                                    pad_to=L)
+    d = jnp.asarray(np.stack([d] * B))
+    nb = jnp.asarray(np.stack([nb] * B))
+    q = jnp.asarray(rng.standard_normal((B, H, L, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, L, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, L, Dh)), jnp.float32)
+    sul_a = jnp.array([sul] * B)
+    vl_a = jnp.array([480, 512])
+
+    ref = np.asarray(sdag_attention_reference(q, k, v, d, nb, sul_a, vl_a))
+    out = np.asarray(sdag_flash_attention_kvres(
+        q, k, v, d, nb, sul_a, vl_a, block_q=64, block_k=64,
+        interpret=True, worklist=True))
+    np.testing.assert_allclose(out[:, :, :480], ref[:, :, :480], atol=3e-2)
+
+    # q-slice with global offset (context-parallel shard shape)
+    s, e = 128, 256
+    part = np.asarray(sdag_flash_attention_kvres(
+        q[:, :, s:e], k, v, d, nb, sul_a, vl_a,
+        doc_id_q=d[:, s:e], nbr_bits_q=nb[:, s:e],
+        q_offset=jnp.full((B,), s, jnp.int32),
+        block_q=64, block_k=64, interpret=True, worklist=True))
+    np.testing.assert_allclose(part, ref[:, :, s:e], atol=3e-2)
+
+    # plain causal (no docs): worklist must reduce to exact causal too
+    causal_id = jnp.full((B, L), -1, jnp.int32)
+    zeros = jnp.zeros((B, L), jnp.int32)
+    ref_c = np.asarray(sdag_attention_reference(
+        q, k, v, causal_id, zeros, jnp.zeros((B,), jnp.int32), vl_a))
+    out_c = np.asarray(sdag_flash_attention_kvres(
+        q, k, v, causal_id, zeros, jnp.zeros((B,), jnp.int32), vl_a,
+        block_q=64, block_k=64, interpret=True, worklist=True))
+    np.testing.assert_allclose(out_c[0, :, :480], ref_c[0, :, :480],
+                               atol=3e-2)
+    np.testing.assert_allclose(out_c[1], ref_c[1], atol=3e-2)
+
+
 def test_flash_kernel_beyond_31_docs():
     """Isolation-only layouts with >31 docs (ids alias onto bit 31 in the
     block-kind summaries, conservatively) must still produce exact kernel
