@@ -334,7 +334,9 @@ class Generator:
         """Decode with prompt-lookup speculation.
 
         Each round: (1) draft D tokens by continuing the most recent
-        prompt occurrence of the current (prev, cur) bigram, (2) verify
+        occurrence of the current (prev, cur) bigram — searched over the
+        emitted tokens first, then the prompt (full-context
+        prompt-lookup), (2) verify
         [cur, drafts] in ONE G=D+1-token forward (KV-bandwidth-bound,
         like a single decode step), (3) accept the longest valid draft
         prefix, plus a bonus token from the model.  Greedy: a draft is
@@ -404,7 +406,13 @@ class Generator:
                 # count biased the reported acceptance low on skewed
                 # answer lengths)
                 rr = rr + jnp.sum(jnp.logical_not(done).astype(jnp.int32))
-                # ---- draft: continue the last (prev, cur) bigram match
+                # ---- draft: continue the last (prev, cur) bigram match.
+                # Full-context lookup: the prompt AND the tokens emitted so
+                # far are both draft sources (long generations repeat their
+                # own phrasing at least as often as the prompt's); a match
+                # in the emitted history is preferred — it is the more
+                # recent context.  Drafts never affect outputs, only
+                # acceptance: verification pins the result either way.
                 m = ((input_ids[:, :-1] == prev[:, None]) &
                      (input_ids[:, 1:] == cur[:, None]) &
                      ((jpos + 1)[None, :] < valid_len[:, None]))
@@ -415,6 +423,22 @@ class Generator:
                 drafts = jnp.take_along_axis(input_ids,
                                              jnp.clip(src, 0, lp - 1), axis=1)
                 drafts = jnp.where(ok, drafts, cur[:, None])
+                if max_new > 1:
+                    opos = jnp.arange(max_new - 1, dtype=jnp.int32)
+                    mo = ((out[:, :-1] == prev[:, None]) &
+                          (out[:, 1:] == cur[:, None]) &
+                          ((opos + 1)[None, :] < n[:, None]))
+                    found_o = jnp.any(mo, axis=1)
+                    jstar_o = jnp.max(jnp.where(mo, opos[None, :], -1),
+                                      axis=1)
+                    src_o = jstar_o[:, None] + 2 + iota_g[None, :G - 1]
+                    ok_o = found_o[:, None] & (src_o < n[:, None])
+                    drafts_o = jnp.take_along_axis(
+                        out, jnp.clip(src_o, 0, max_new - 1), axis=1)
+                    drafts = jnp.where(found_o[:, None],
+                                       jnp.where(ok_o, drafts_o,
+                                                 cur[:, None]),
+                                       drafts)
                 w = jnp.concatenate([cur[:, None], drafts], axis=1)  # [B,G]
 
                 # ---- verify in one G-token forward
