@@ -486,12 +486,14 @@ def sdag_flash_attention_kvres(q, k, v, doc_id, nbr_bits, sys_user_len,
     ``fori_loop`` over a packed per-(b, q-block) list of LIVE tiles (the
     splash worklist, but against VMEM-resident K/V — no DMA machinery).
     The static unroll pays one branch per SKIP tile and emits nk copies of
-    the tile body; at prefill geometries where most tiles are SKIP the
-    per-step fixed cost caps the structural speedup (measured 1.14x at
-    L=4096/20 docs, VERDICT r3 item 4).  The worklist visits exactly the
-    live tiles: compute scales with visible area.  Incompatible with
-    use_mask_tiles (dynamic tile index vs streamed strip); the in-kernel
-    rule is used.
+    the tile body; the worklist visits exactly the live tiles, so compute
+    scales with visible area.  Measured on-chip (benchmarks/
+    PREFILL_VARIANTS.md): the dynamic trip count defeats Mosaic's static
+    pipelining — 2.5 ms vs the unrolled schedule's 1.07 ms at L=4096/20
+    docs, and 35% slower even on DENSE causal — so this stays a
+    measured-and-rejected alternative; production dispatch keeps the
+    unrolled kernel.  Incompatible with use_mask_tiles (dynamic tile
+    index vs streamed strip); the in-kernel rule is used.
     """
     B, H, Lq, Dh = q.shape
     L = k.shape[2]
