@@ -617,6 +617,22 @@ def sec_decode() -> None:
         _emit("decode_tok_s_b8_1b_int8kv_prompt1024", r["tok_s"],
               "tok/s", r["roofline_frac"])
 
+    # serving-batch aggregates (B=32, bf16 and int8 KV): the README's
+    # batch-scaling claims must come from a committed artifact, not
+    # interactive logs (VERDICT r3 item 10)
+    r = _safe("decode_b32", lambda: bench_decode.run(
+        batch=32, prompt=1024, steps=16, temperature=0.1, top_p=1.0,
+        iters=2))
+    if r:
+        _emit("decode_tok_s_b32_1b_bf16_prompt1024", r["tok_s"],
+              "tok/s", r["roofline_frac"])
+    r = _safe("decode_b32_int8kv", lambda: bench_decode.run(
+        batch=32, prompt=1024, steps=16, temperature=0.1, top_p=1.0,
+        iters=2, kv_dtype="int8"))
+    if r:
+        _emit("decode_tok_s_b32_1b_int8kv_prompt1024", r["tok_s"],
+              "tok/s", r["roofline_frac"])
+
 
 def sec_speculative() -> None:
     import bench_decode
