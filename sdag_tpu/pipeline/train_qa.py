@@ -110,7 +110,14 @@ def build_example(rng: np.random.Generator, tokenizer, fact: Fact,
     for _ in range(n_gt):
         docs.insert(int(rng.integers(0, len(docs) + 1)), render(fact))
     plan = build_rag_prompt_plan(tokenizer, fact_query(fact), docs)
-    ans = (tokenizer.encode(fact.value, add_special_tokens=False)
+    # Target the MID-SENTENCE surface form (" value"), because that is the
+    # form present in the retrieved doc ("... is value.").  Under the word
+    # tokenizer the two surfaces are DIFFERENT ids; targeting the bare form
+    # makes a single-token induction copy impossible (the r4 30M word run
+    # pinned tok_acc at exactly 0.5: EOS right, value never — the copyable
+    # token simply wasn't the target).  EM normalization squeezes
+    # whitespace, so the leading space is invisible at evaluation.
+    ans = (tokenizer.encode(" " + fact.value, add_special_tokens=False)
            + [tokenizer.eos_token_id])
     ids = list(plan.input_ids) + ans
     if len(ids) > seq_len:
