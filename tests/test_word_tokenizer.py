@@ -91,3 +91,45 @@ def test_save_load_and_pipeline_autoload(tmp_path, tok):
     (tmp_path / "sub").mkdir()
     (tmp_path / "sub" / "native_decoder.json").write_text("{}")
     assert isinstance(load_tokenizer(str(tmp_path / "sub")), ByteTokenizer)
+
+
+def _contains_subseq(hay, needle):
+    n = len(needle)
+    return any(hay[i:i + n] == needle for i in range(len(hay) - n + 1))
+
+
+@pytest.mark.parametrize("tok_cls", ["word", "byte"])
+def test_answer_target_is_copyable_from_doc(tok_cls, tok):
+    """The train_qa answer target must be token-for-token PRESENT in the
+    encoded GT doc (every surface variant): under the word tokenizer the
+    bare value ("bodiku") and the mid-sentence value (" bodiku") are
+    DIFFERENT ids, and targeting the bare form made the induction copy
+    impossible — the r4 30M run pinned tok_acc at exactly 0.5 (EOS right,
+    value never).  Pins train_qa.py's space-prefixed answer encoding."""
+    t = tok if tok_cls == "word" else ByteTokenizer()
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        f = random_fact(rng)
+        ans = t.encode(" " + f.value, add_special_tokens=False)
+        renders = [fact_doc(f)] + [styled_fact_doc(f, v) for v in range(5)]
+        for r in renders:
+            ids = t.encode(r, add_special_tokens=False)
+            assert _contains_subseq(ids, ans), (f.value, r)
+
+
+def test_build_example_answer_tokens_present_in_prompt(tok):
+    """End-to-end pin on build_example: every weight-1.0 target token
+    except EOS must literally occur among the prompt ids (the copy source
+    exists in-context)."""
+    from sdag_tpu.pipeline.train_qa import build_example
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        f = random_fact(rng)
+        ex = build_example(rng, tok, f, None, k=4, iso=True, seq_len=512)
+        assert ex is not None
+        mask = ex["loss_mask"] == 1.0
+        answer_targets = ex["targets"][mask]
+        prompt_ids = set(int(i) for i in
+                         ex["input_ids"][:int(ex["valid_len"])].tolist())
+        for a in answer_targets[:-1]:          # last = EOS, not in prompt
+            assert int(a) in prompt_ids
