@@ -309,6 +309,12 @@ def main(argv: Optional[List[str]] = None) -> None:
                         "per-step dispatch")
     p.add_argument("--save-every", type=int, default=0,
                    help="also checkpoint every N steps (resumable)")
+    p.add_argument("--init-from", default="",
+                   help="warm-start params from a native checkpoint dir "
+                        "(same arch + tokenizer); optimizer state restarts "
+                        "fresh — used to extend a run whose induction "
+                        "phase transition began late (the 31M word model "
+                        "crossed at ~step 4000 of 6000)")
     p.add_argument("--tokenizer", choices=["byte", "word"], default="byte",
                    help="word = closed-vocab WordTokenizer over the synth "
                         "world (~3-4x shorter sequences; pair with a "
@@ -359,7 +365,15 @@ def main(argv: Optional[List[str]] = None) -> None:
     else:
         init_state, step_fn = make_sharded_train_step(
             cfg, mesh, optimizer=opt)
-    params = init_decoder_params(jax.random.PRNGKey(args.seed), cfg)
+    if args.init_from:
+        from sdag_tpu.models.native_ckpt import load_decoder
+        params, init_cfg = load_decoder(args.init_from)
+        if init_cfg != cfg:
+            raise SystemExit(f"--init-from arch mismatch: ckpt {init_cfg} "
+                             f"vs requested {cfg}")
+        print(f"[train_qa] warm-started from {args.init_from}", flush=True)
+    else:
+        params = init_decoder_params(jax.random.PRNGKey(args.seed), cfg)
     print(f"[train_qa] model "
           f"{sum(x.size for x in jax.tree.leaves(params)) / 1e6:.2f}M "
           "params", flush=True)
