@@ -16,3 +16,11 @@ def maybe_force_platform() -> None:
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)
+    # Persistent compile cache (works through the axon relay): re-runs of
+    # the same jitted shapes load in seconds instead of minutes under
+    # compile-service contention.  Honors an explicit JAX_COMPILATION_CACHE_DIR.
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        import jax
+        cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
