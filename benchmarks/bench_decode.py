@@ -28,9 +28,16 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_config():
+def bench_config(model: str = "1b"):
     import jax.numpy as jnp
     from sdag_tpu.models.llama import DecoderConfig
+    if model == "small":
+        # ~40M-param canary: compiles in seconds so the decode section can
+        # emit one metric before risking the contended 1B compile
+        return DecoderConfig(vocab_size=32768, d_model=512, n_layers=8,
+                             n_heads=8, n_kv_heads=4, d_ff=1376,
+                             rope_theta=500000.0, dtype=jnp.bfloat16,
+                             tie_embeddings=True)
     return DecoderConfig(vocab_size=128256, d_model=2048, n_layers=16,
                          n_heads=16, n_kv_heads=8, d_ff=5504,
                          rope_theta=500000.0, dtype=jnp.bfloat16,
@@ -39,14 +46,14 @@ def bench_config():
 
 def run(batch: int, prompt: int, steps: int, temperature: float,
         top_p: float, iters: int = 3, max_new: int = 128,
-        kv_dtype: str = "native") -> dict:
+        kv_dtype: str = "native", model: str = "1b") -> dict:
     import jax
     import jax.numpy as jnp
     from sdag_tpu.models.llama import (count_params, decode_step,
                                        init_decoder_params, prefill)
     from sdag_tpu.ops.sampling import sample_tokens
 
-    cfg = bench_config()
+    cfg = bench_config(model)
     params = init_decoder_params(jax.random.PRNGKey(0), cfg)
     n_params = count_params(params)
 

@@ -213,6 +213,9 @@ def main() -> None:
                          "accepted-drafts/round lands in wall.json")
     args = ap.parse_args()
 
+    from sdag_tpu.utils.chipjobs import register_chip_job
+    register_chip_job("full_scale")
+
     if args.attack_variant == "doc_corruption" and len(args.strategies) > 1:
         # corruption never selects malicious docs; one run covers it
         print("[run] doc_corruption ignores selection strategies; "

@@ -144,6 +144,10 @@ def main() -> None:
                         "evidence flow")
     args = p.parse_args()
 
+    if args.platform != "cpu":
+        from sdag_tpu.utils.chipjobs import register_chip_job
+        register_chip_job("sdag_effect")
+
     summary = {}
     for n_mal in args.n_mal:
         for nk in args.neighbors_k:

@@ -273,6 +273,9 @@ def teacher_forced_eval(params, cfg: DecoderConfig, tokenizer,
 def main(argv: Optional[List[str]] = None) -> None:
     from sdag_tpu.utils.platform import maybe_force_platform
     maybe_force_platform()
+    if os.environ.get("SDAG_FORCE_PLATFORM", "") != "cpu":
+        from sdag_tpu.utils.chipjobs import register_chip_job
+        register_chip_job("train_qa")
     p = argparse.ArgumentParser()
     p.add_argument("--out", required=True)
     p.add_argument("--steps", type=int, default=3000)
