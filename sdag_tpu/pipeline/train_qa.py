@@ -58,7 +58,9 @@ def build_example(rng: np.random.Generator, tokenizer, fact: Fact,
                   pool: Optional[List[Fact]], k: int, iso: bool,
                   seq_len: int, styled_frac: float = 0.3,
                   dup_frac: float = 0.25,
-                  nbr_frac: float = 0.0) -> Optional[Dict[str, np.ndarray]]:
+                  nbr_frac: float = 0.0,
+                  answer_form: str = "value",
+                  ) -> Optional[Dict[str, np.ndarray]]:
     """One training example: k-doc RAG prompt (GT doc at a random rank,
     distractors drawn from other facts) + the answer.  Loss weights: 1.0
     on the answer tokens, AUX_LM_WEIGHT on the whole prompt — the
@@ -117,7 +119,25 @@ def build_example(rng: np.random.Generator, tokenizer, fact: Fact,
     # pinned tok_acc at exactly 0.5: EOS right, value never — the copyable
     # token simply wasn't the target).  EM normalization squeezes
     # whitespace, so the leading space is invisible at evaluation.
-    ans = (tokenizer.encode(" " + fact.value, add_special_tokens=False)
+    #
+    # answer_form="sentence" targets the retrieved doc's full sentence
+    # ("the {attr} of {entity} is {value}.") instead.  Rationale (the r4/r5
+    # 30M diagnosis): under the word tokenizer the bare-value target gives
+    # ONE copy-supervised token per example, and at that position the
+    # generated prefix ("- Answer:") shares nothing with the source doc —
+    # the induction match is weak, and the phase transition took >18k steps
+    # to only reach full_acc≈0.3-0.44.  The sentence target supervises ~8
+    # tokens, and by the time the value is emitted the prefix "the attr of
+    # entity is" matches the doc verbatim — the same strong-prefix copy
+    # mechanism that let the 2.76M byte model cross by 6k steps (byte
+    # answers re-build the match char by char for free).  Evaluation is
+    # unchanged: EM is substring-of-normalized (reference
+    # normalization.py:58-64), so a sentence containing the value matches.
+    if answer_form == "sentence":
+        ans_text = " " + fact_doc(fact)
+    else:
+        ans_text = " " + fact.value
+    ans = (tokenizer.encode(ans_text, add_special_tokens=False)
            + [tokenizer.eos_token_id])
     ids = list(plan.input_ids) + ans
     if len(ids) > seq_len:
@@ -165,7 +185,8 @@ def _collect_examples(n: int, make_one) -> List[Dict[str, np.ndarray]]:
 def _train_example(rng: np.random.Generator, tokenizer,
                    pool: Optional[List[Fact]], seq_len: int, k_min: int,
                    k_max: int, iso_frac: float, styled_frac: float,
-                   dup_frac: float, nbr_frac: float = 0.0):
+                   dup_frac: float, nbr_frac: float = 0.0,
+                   answer_form: str = "value"):
     """One training example: fresh pseudoword fact in stream mode
     (pool=None), random doc count, coin-flipped ISO/causal prefill."""
     fact = random_fact(rng) if pool is None \
@@ -174,7 +195,8 @@ def _train_example(rng: np.random.Generator, tokenizer,
     return build_example(rng, tokenizer, fact, pool, k,
                          iso=bool(rng.random() < iso_frac),
                          seq_len=seq_len, styled_frac=styled_frac,
-                         dup_frac=dup_frac, nbr_frac=nbr_frac)
+                         dup_frac=dup_frac, nbr_frac=nbr_frac,
+                         answer_form=answer_form)
 
 
 def sample_batch(rng: np.random.Generator, tokenizer,
@@ -182,12 +204,13 @@ def sample_batch(rng: np.random.Generator, tokenizer,
                  k_min: int = 2, k_max: int = 10,
                  iso_frac: float = 0.5, styled_frac: float = 0.3,
                  dup_frac: float = 0.25,
-                 nbr_frac: float = 0.0) -> Dict[str, jnp.ndarray]:
+                 nbr_frac: float = 0.0,
+                 answer_form: str = "value") -> Dict[str, jnp.ndarray]:
     """pool=None = stream mode: every example's facts are fresh
     pseudowords, so the model can only learn answer-from-context."""
     exs = _collect_examples(batch, lambda: _train_example(
         rng, tokenizer, pool, seq_len, k_min, k_max, iso_frac,
-        styled_frac, dup_frac, nbr_frac))
+        styled_frac, dup_frac, nbr_frac, answer_form))
     return {key: jnp.asarray(np.stack([e[key] for e in exs]))
             for key in exs[0]}
 
@@ -222,13 +245,14 @@ def sample_batch_stack(rng: np.random.Generator, tokenizer,
                        seq_len: int, k_min: int = 2, k_max: int = 10,
                        iso_frac: float = 0.5, styled_frac: float = 0.3,
                        dup_frac: float = 0.25,
-                       nbr_frac: float = 0.0) -> Dict[str, np.ndarray]:
+                       nbr_frac: float = 0.0,
+                       answer_form: str = "value") -> Dict[str, np.ndarray]:
     """[S, B, ...] stack of S compressed batches for the scan driver."""
     stacks = []
     for _ in range(chunk):
         exs = _collect_examples(batch, lambda: _train_example(
             rng, tokenizer, pool, seq_len, k_min, k_max, iso_frac,
-            styled_frac, dup_frac, nbr_frac))
+            styled_frac, dup_frac, nbr_frac, answer_form))
         stacks.append(compress_batch_np(exs))
     return {k: np.stack([s[k] for s in stacks]) for k in stacks[0]}
 
@@ -236,7 +260,8 @@ def sample_batch_stack(rng: np.random.Generator, tokenizer,
 def teacher_forced_eval(params, cfg: DecoderConfig, tokenizer,
                         eval_pool: List[Fact], distract_pool: List[Fact],
                         seq_len: int, n: int = 32, k: int = 5,
-                        seed: int = 123) -> Dict[str, float]:
+                        seed: int = 123,
+                        answer_form: str = "value") -> Dict[str, float]:
     """Answer-token argmax accuracy on held-out entities, per mode.
     full = all answer tokens of an example correct (proxy for gen ACC)."""
     rng = np.random.default_rng(seed)
@@ -251,7 +276,8 @@ def teacher_forced_eval(params, cfg: DecoderConfig, tokenizer,
             fact = eval_pool[int(rng.integers(len(eval_pool)))]
             return build_example(rng, tokenizer, fact,
                                  distract_pool + [fact], k, iso=iso,
-                                 seq_len=seq_len, nbr_frac=nf)
+                                 seq_len=seq_len, nbr_frac=nf,
+                                 answer_form=answer_form)
 
         exs = _collect_examples(n, one)
         batch = {key: jnp.asarray(np.stack([e[key] for e in exs]))
@@ -318,6 +344,18 @@ def main(argv: Optional[List[str]] = None) -> None:
                         "fresh — used to extend a run whose induction "
                         "phase transition began late (the 31M word model "
                         "crossed at ~step 4000 of 6000)")
+    p.add_argument("--answer-form", choices=["value", "sentence"],
+                   default="value",
+                   help="answer target: bare ' value' (r3/r4 recipe) or "
+                        "the retrieved doc's full sentence — ~8 copy-"
+                        "supervised tokens with a verbatim induction "
+                        "prefix at the value position (fixes the word-"
+                        "tokenizer transition stall; EM is substring-"
+                        "based so evaluation is unchanged)")
+    p.add_argument("--eval-n", type=int, default=32,
+                   help="held-out eval examples per mode (32 has ±0.09 "
+                        "binomial noise on full_acc — use >=128 when the "
+                        "eval steers decisions)")
     p.add_argument("--tokenizer", choices=["byte", "word"], default="byte",
                    help="word = closed-vocab WordTokenizer over the synth "
                         "world (~3-4x shorter sequences; pair with a "
@@ -387,7 +425,7 @@ def main(argv: Optional[List[str]] = None) -> None:
              "entities": args.entities, "seed": args.seed,
              "k_max": args.k_max, "seq_len": args.seq_len,
              "styled_frac": args.styled_frac, "dup_frac": args.dup_frac,
-             "nbr_frac": args.nbr_frac}
+             "nbr_frac": args.nbr_frac, "answer_form": args.answer_form}
 
     extra["tokenizer"] = args.tokenizer
 
@@ -411,7 +449,8 @@ def main(argv: Optional[List[str]] = None) -> None:
                                          k_max=args.k_max,
                                          styled_frac=args.styled_frac,
                                          dup_frac=args.dup_frac,
-                                         nbr_frac=args.nbr_frac)
+                                         nbr_frac=args.nbr_frac,
+                                         answer_form=args.answer_form)
             state, ls = scan_fn(state, {k: jnp.asarray(v)
                                         for k, v in stacked.items()})
             losses.extend(float(x) for x in np.asarray(ls))
@@ -422,7 +461,8 @@ def main(argv: Optional[List[str]] = None) -> None:
                                  k_max=args.k_max,
                                  styled_frac=args.styled_frac,
                                  dup_frac=args.dup_frac,
-                                 nbr_frac=args.nbr_frac)
+                                 nbr_frac=args.nbr_frac,
+                                 answer_form=args.answer_form)
             state, loss = step_fn(state, batch)
             losses.append(float(loss))
             step += 1
@@ -436,7 +476,8 @@ def main(argv: Optional[List[str]] = None) -> None:
                 or step >= args.steps:
             ev = teacher_forced_eval(state.params, cfg, tokenizer,
                                      eval_pool, eval_distract,
-                                     args.seq_len)
+                                     args.seq_len, n=args.eval_n,
+                                     answer_form=args.answer_form)
             print(f"[train_qa] step {step} heldout {ev}", flush=True)
             extra["final_eval"] = ev
         if args.save_every and step // args.save_every != \
