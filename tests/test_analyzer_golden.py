@@ -47,6 +47,30 @@ def test_native_analyzer_matches_golden(fix):
         assert out == case["expected"], case["text"]
 
 
+def test_porter_published_vectors_python(fix):
+    """Stemmer parity against the worked examples PUBLISHED in Porter
+    (1980) — the algorithm Lucene's PorterStemFilter implements — so the
+    pin is independent of our own reading of the spec (VERDICT r4 item
+    8).  Provenance note lives in the fixture."""
+    from sdag_tpu.retrieval.analyzer import _PyPorter
+    stemmer = _PyPorter()
+    for case in fix["porter_1980_cases"]["cases"]:
+        assert stemmer.stem(case["word"]) == case["stem"], case
+
+
+def test_porter_published_vectors_native(fix):
+    so = _build_native()
+    if so is None:
+        pytest.skip("no C++ toolchain")
+    na = _NativeAnalyzer(so)
+    # none of the published vectors are stopwords, so the full analyzer
+    # chain reduces to lowercase+stem for these single-word texts
+    words = [c["word"] for c in fix["porter_1980_cases"]["cases"]]
+    got = na.analyze_batch(words)
+    for case, out in zip(fix["porter_1980_cases"]["cases"], got):
+        assert out == [case["stem"]], case
+
+
 def test_native_and_python_agree_on_fuzz(fix):
     """Beyond the golden cases: byte-identical agreement on messy inputs."""
     so = _build_native()
