@@ -108,3 +108,50 @@ def test_trained_model_poisoning_direction(tmp_path, world):
     print(f"[trained-e2e] under attack: ACC iso={acc_iso:.3f} "
           f"ASR iso={asr_iso:.3f} noiso={asr_noiso:.3f}")
     assert asr_iso + asr_noiso > 0.0  # attack exercised for real
+
+
+CKPT_V4 = os.path.join(REPO, "experiments", "data", "qa_ckpt_v4")
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(os.path.join(CKPT_V4, "native_decoder.json")),
+    reason="trained qa_ckpt_v4 not present")
+def test_nbr_trained_model_clean_acc_with_neighbor_windows(tmp_path):
+    """Round-5 property pin: a checkpoint trained with --nbr-frac mask
+    coverage keeps clean accuracy when served with DOC_NEIGHBORS_K>0
+    (the r3 OOD collapse — 0.917 -> 0.177 at k=2 — must not return).
+    Measured 1.000 at every k in experiments/results/sdag_effect_knn_v4."""
+    from sdag_tpu.config import Config
+    from sdag_tpu.pipeline.orchestrator import run_experiment
+    from sdag_tpu.utils.synth_qa import (load_world, write_attack_csv,
+                                         write_corpus_jsonl)
+
+    world = load_world(os.path.join(CKPT_V4, "world.json"))
+    corpus = tmp_path / "corpus.jsonl"
+    attack = tmp_path / "attack.csv"
+    write_corpus_jsonl(world, str(corpus))
+    facts = write_attack_csv(world, str(attack), world.eval_entities[:4],
+                             n_mal=1, seed=world.seed + 1)
+    cfg = Config()
+    cfg.SAMPLE_SIZE = len(facts)
+    cfg.TOP_K = [5]
+    cfg.ADD_ATTACK_IN_RANK = [0]      # clean
+    cfg.DOC_NEIGHBORS_K = 2           # neighbor windows ON at serve time
+    cfg.CSV_INPUT_PATH = str(attack)
+    cfg.CORPUS_JSONL_PATH = str(corpus)
+    cfg.RETRIEVER_BACKEND = "sparse"
+    cfg.SPARSE_INDEX_NAME_OR_PATH = str(tmp_path / "bm25.index")
+    cfg.LLM_CHECKPOINT = CKPT_V4
+    cfg.LLM_BATCH_SIZE = 8
+    cfg.BATCH_SIZE_EMBED_Q = 32
+    cfg.MAX_GEN_TOKENS_RAG = 24
+    cfg.TEMPERATURE = 0.0
+    cfg.OUTPUT_CSV_BASE = str(tmp_path / "out" / "results")
+
+    metrics = run_experiment(cfg)
+    m = metrics[(5, 0)]["answer_match_stats"]
+    acc_iso = m["iso"]["ground_truth_match_rate"]
+    print(f"[nbr-e2e] k=2 clean ACC iso={acc_iso:.3f}")
+    # v4 measures 1.000; 0.8 is a loose floor that still catches any
+    # return of the mask-coverage regression
+    assert acc_iso >= 0.8, acc_iso
