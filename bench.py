@@ -19,6 +19,11 @@ Env knobs:
                      (.chip_jobs/*.pid) to exit before benchmarking
                      (default 600; the wait does NOT count against
                      BENCH_DEADLINE_S)
+  BENCH_SECTION_BUDGET_S  override every section's per-section budget
+                     (builder use: cold-compile warming runs where the
+                     defaults — sized for a warm .jax_cache — would kill
+                     a section mid-compile; combine with BENCH_SECTIONS
+                     and a large BENCH_DEADLINE_S)
   BENCH_INLINE=1     legacy single-process mode (debugging)
 
 Every README performance claim is backed by a line here (VERDICT r1 item 2):
@@ -1119,6 +1124,7 @@ def main() -> None:
                   file=sys.stderr)
             continue
         t0 = time.time()
+        budget = float(os.environ.get("BENCH_SECTION_BUDGET_S", budget))
         rc, out, err = _spawn_section(name, min(budget, remaining))
         for line in out.splitlines():
             if line.startswith("{"):
