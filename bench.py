@@ -659,6 +659,23 @@ def sec_decode() -> None:
               "tok/s", r["roofline_frac"])
 
 
+def sec_decode_w8() -> None:
+    """Weight-only int8 decode (models/llama.py
+    quantize_decoder_params_int8): decode at B<=8 is weight-streaming
+    bound, so int8 weights halve the bytes/step; vs_baseline = roofline
+    fraction against the int8 byte count (the speedup over bf16 shows in
+    the tok/s next to decode_tok_s_b*_1b_bf16)."""
+    import bench_decode
+
+    for b in (1, 8):
+        r = _safe(f"decode_w8_b{b}", lambda b=b: bench_decode.run(
+            batch=b, prompt=1024, steps=32, temperature=0.1, top_p=1.0,
+            iters=2, weights="int8"))
+        if r:
+            _emit(f"decode_tok_s_b{b}_1b_w8_prompt1024", r["tok_s"],
+                  "tok/s", r["roofline_frac"])
+
+
 def sec_speculative() -> None:
     import bench_decode
 
@@ -988,6 +1005,9 @@ SECTIONS = [
     ("cp_pallas", 240),
     ("dense_1m", 360),
     ("dense_4m_int8", 360),
+    # weight-only int8 decode: last (new compiles; must never spend the
+    # driver window the headline bf16 decode + BM25 metrics need)
+    ("decode_w8", 420),
 ]
 
 _BACKEND_DOWN_MARKERS = (

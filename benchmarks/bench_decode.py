@@ -46,16 +46,22 @@ def bench_config(model: str = "1b"):
 
 def run(batch: int, prompt: int, steps: int, temperature: float,
         top_p: float, iters: int = 3, max_new: int = 128,
-        kv_dtype: str = "native", model: str = "1b") -> dict:
+        kv_dtype: str = "native", model: str = "1b",
+        weights: str = "native") -> dict:
     import jax
     import jax.numpy as jnp
     from sdag_tpu.models.llama import (count_params, decode_step,
-                                       init_decoder_params, prefill)
+                                       init_decoder_params, prefill,
+                                       quantize_decoder_params_int8)
     from sdag_tpu.ops.sampling import sample_tokens
 
     cfg = bench_config(model)
     params = init_decoder_params(jax.random.PRNGKey(0), cfg)
     n_params = count_params(params)
+    if weights == "int8":
+        # weight-only int8 serving format: per-channel scales, dequant
+        # fused into the matmul operand read — halves weight streaming
+        params = jax.block_until_ready(quantize_decoder_params_int8(params))
 
     cache_size = prompt + max_new
     ids = jax.random.randint(jax.random.PRNGKey(1), (batch, prompt), 0,
@@ -100,7 +106,9 @@ def run(batch: int, prompt: int, steps: int, temperature: float,
     toks = batch * steps / best
 
     # roofline: every step streams the weights once + the live KV once
-    w_bytes = 2 * n_params
+    # (sum actual leaf bytes: int8 weight trees carry f32 scale vectors)
+    w_bytes = sum(int(x.size) * x.dtype.itemsize
+                  for x in jax.tree.leaves(params))
     kv_itemsize = 1 if kv_dtype == "int8" else 2
     kv_slots = 2 * cfg.n_layers * batch * cfg.n_kv_heads \
         * (prompt + steps // 2)
@@ -192,9 +200,11 @@ def main():
     ap.add_argument("--temperature", type=float, default=0.1)
     ap.add_argument("--top_p", type=float, default=1.0)
     ap.add_argument("--kv", default="native", choices=["native", "int8"])
+    ap.add_argument("--weights", default="native",
+                    choices=["native", "int8"])
     args = ap.parse_args()
     out = run(args.batch, args.prompt, args.steps, args.temperature,
-              args.top_p, kv_dtype=args.kv)
+              args.top_p, kv_dtype=args.kv, weights=args.weights)
     print(json.dumps(out))
 
 

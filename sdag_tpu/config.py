@@ -146,6 +146,11 @@ class Config:
     # continuation; TEMPERATURE>0 uses exact speculative sampling (the
     # output distribution equals the non-speculative sampler's).
     SPECULATIVE_DRAFT_LEN: int = 0
+    # Generator weights: "native" (checkpoint dtype) or "int8" (weight-only
+    # per-channel quantization at load; halves the weight bytes streamed
+    # per decode step — the B<=8 decode bottleneck — standard int8 PTQ
+    # error; opt-in, single-chip serving: not composable with MESH_MODEL>1)
+    LLM_WEIGHTS_DTYPE: str = "native"
 
     # --- TPU mesh ----------------------------------------------------------
     # Mesh axis sizes; 0 = use all local devices on the data axis.
@@ -167,6 +172,14 @@ class Config:
             raise ValueError(f"Unknown ATTACK_VARIANT: {self.ATTACK_VARIANT}")
         if self.KV_CACHE_DTYPE not in {"native", "int8"}:
             raise ValueError(f"Unknown KV_CACHE_DTYPE: {self.KV_CACHE_DTYPE}")
+        if self.LLM_WEIGHTS_DTYPE not in {"native", "int8"}:
+            raise ValueError(
+                f"Unknown LLM_WEIGHTS_DTYPE: {self.LLM_WEIGHTS_DTYPE}")
+        if self.LLM_WEIGHTS_DTYPE == "int8" and self.MESH_MODEL > 1:
+            raise ValueError(
+                "LLM_WEIGHTS_DTYPE='int8' is a single-chip serving format "
+                "(decoder_param_specs shard the float tree); use "
+                "MESH_MODEL=1 with it.")
         if self.BM25_ENGINE not in {"postings", "scan"}:
             raise ValueError(f"Unknown BM25_ENGINE: {self.BM25_ENGINE}")
         if self.DENSE_SEARCH_MODE not in {"approx", "exact"}:

@@ -104,6 +104,79 @@ def init_decoder_params(key: jax.Array, cfg: DecoderConfig) -> Dict[str, Any]:
     return params
 
 
+def _mm(x: jax.Array, w) -> jax.Array:
+    """Matmul against a plain weight or a weight-only-int8 dict.
+
+    Quantized weights are ``{"w": int8 [in, out], "s": f32 [out]}``
+    (per-output-channel symmetric scales).  The int8 operand is converted
+    to x.dtype at the dot's operand read — XLA fuses the convert into the
+    MXU feed, so HBM streams the int8 bytes (half of bf16), which is the
+    whole win for weight-streaming-bound decode.  Math:
+    ``x @ (W_q * s) == (x @ W_q) * s`` because s is constant along the
+    contraction axis.
+    """
+    if isinstance(w, dict):
+        return (x @ w["w"].astype(x.dtype)) * w["s"].astype(x.dtype)
+    return x @ w
+
+
+def _embed_rows(embed, ids: jax.Array, dtype) -> jax.Array:
+    """Embedding-table gather for a plain or quantized table.
+
+    Quantized tables are ``{"w": int8 [V, d], "s": f32 [V]}`` (per-ROW
+    scales, so the same tensor serves the gather here and the tied
+    unembed matmul in :func:`_unembed`, whose output channels are rows).
+    """
+    if isinstance(embed, dict):
+        rows = embed["w"][ids].astype(dtype)
+        return rows * embed["s"][ids][..., None].astype(dtype)
+    return embed[ids].astype(dtype)
+
+
+def quantize_decoder_params_int8(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Weight-only int8 quantization for serving (per-channel symmetric).
+
+    Every dense matrix becomes ``{"w": int8, "s": f32[out]}`` with the
+    scale axis chosen per tensor so dequantization commutes with the
+    matmul it feeds: projection/MLP weights [in, out] scale per column;
+    the embedding [V, d] scales per row (it is both a gather table and,
+    when tied, the unembed's [d, V] operand with vocab as the output
+    axis).  Norm gains stay in float.  Decode at batch<=8 is
+    weight-streaming-bound (see benchmarks/bench_decode.py roofline), so
+    halving the weight bytes is ~2x decode throughput; quality impact is
+    the standard int8 PTQ error (per-channel, symmetric).
+
+    The quantized tree is a drop-in for prefill/decode_step/decode_window
+    (the forwards dispatch on leaf type).  It is a single-chip serving
+    format: parallel/sharding.py's decoder_param_specs address the float
+    tree layout.  Replaces the reference's fp16/bf16-only HF serving path
+    (``content_generation.py:19-41``) with the TPU-idiomatic int8
+    weight-streaming trick.
+    """
+    def quant(w: jax.Array, axis: int) -> Dict[str, jax.Array]:
+        w32 = w.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(w32), axis=axis, keepdims=True)
+        s = jnp.maximum(amax, 1e-8) / 127.0
+        wq = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+        return {"w": wq, "s": jnp.squeeze(s, axis=axis)}
+
+    out: Dict[str, Any] = {
+        "embed": quant(params["embed"], axis=1),
+        "final_norm": params["final_norm"],
+        "layers": [],
+    }
+    if "lm_head" in params:
+        out["lm_head"] = quant(params["lm_head"], axis=0)
+    for layer in params["layers"]:
+        out["layers"].append({
+            "attn": {k: quant(v, axis=0) for k, v in layer["attn"].items()},
+            "mlp": {k: quant(v, axis=0) for k, v in layer["mlp"].items()},
+            "ln1": layer["ln1"],
+            "ln2": layer["ln2"],
+        })
+    return out
+
+
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     x32 = x.astype(jnp.float32)
     var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
@@ -148,9 +221,9 @@ def _project_qkv(attn: Dict[str, jax.Array], x: jax.Array,
     device's local head slice with no code change."""
     B, L, _ = x.shape
     hd = cfg.head_dim
-    q = x @ attn["wq"]
-    k = x @ attn["wk"]
-    v = x @ attn["wv"]
+    q = _mm(x, attn["wq"])
+    k = _mm(x, attn["wk"])
+    v = _mm(x, attn["wv"])
     q = q.reshape(B, L, q.shape[-1] // hd, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, L, k.shape[-1] // hd, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, L, v.shape[-1] // hd, hd).transpose(0, 2, 1, 3)
@@ -158,7 +231,8 @@ def _project_qkv(attn: Dict[str, jax.Array], x: jax.Array,
 
 
 def _mlp(mlp: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
-    return (jax.nn.silu(x @ mlp["gate"]) * (x @ mlp["up"])) @ mlp["down"]
+    return _mm(jax.nn.silu(_mm(x, mlp["gate"])) * _mm(x, mlp["up"]),
+               mlp["down"])
 
 
 def _unembed(params: Dict[str, Any], cfg: DecoderConfig, x: jax.Array,
@@ -170,8 +244,11 @@ def _unembed(params: Dict[str, Any], cfg: DecoderConfig, x: jax.Array,
     logits; tied embeddings are replicated, so no collective is needed.
     """
     if cfg.tie_embeddings:
-        return x @ params["embed"].T
-    logits = x @ params["lm_head"]
+        emb = params["embed"]
+        if isinstance(emb, dict):  # per-row scales == unembed out-channels
+            return (x @ emb["w"].T.astype(x.dtype)) * emb["s"].astype(x.dtype)
+        return x @ emb.T
+    logits = _mm(x, params["lm_head"])
     if tp_axis is not None:
         logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
     return logits
@@ -212,7 +289,7 @@ def layer_forward(layer: Dict[str, Any], cfg: DecoderConfig, x: jax.Array,
         impl=attn_impl, block_q=block_q, block_k=block_k,
         use_mask_tiles=use_mask_tiles, mask_plan=mask_plan)
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, L, -1)
-    x = x + _maybe_psum(attn_out @ layer["attn"]["wo"], tp_axis)
+    x = x + _maybe_psum(_mm(attn_out, layer["attn"]["wo"]), tp_axis)
     x = x + _maybe_psum(
         _mlp(layer["mlp"], rms_norm(x, layer["ln2"], cfg.norm_eps)), tp_axis)
     return x, ((k, v) if with_kv else None)
@@ -292,7 +369,7 @@ def prefill(params: Dict[str, Any], cfg: DecoderConfig,
 
     if positions is None:
         positions = positions_from_doc_id(doc_id)
-    x = params["embed"][input_ids].astype(cfg.dtype)
+    x = _embed_rows(params["embed"], input_ids, cfg.dtype)
 
     # layer-invariant mask metadata (block kinds + int8 mask tiles) is
     # computed ONCE here — XLA does not CSE it across per-layer attention
@@ -371,7 +448,7 @@ def decode_step(params: Dict[str, Any], cfg: DecoderConfig,
     the slot being written.
     """
     B = tokens.shape[0]
-    x = params["embed"][tokens].astype(cfg.dtype)[:, None, :]  # [B, 1, d]
+    x = _embed_rows(params["embed"], tokens, cfg.dtype)[:, None, :]  # B,1,d
     pos = positions[:, None]
     int8_kv = "k_scale" in cache
 
@@ -409,8 +486,8 @@ def decode_step(params: Dict[str, Any], cfg: DecoderConfig,
                                                new_cache["k"][li],
                                                new_cache["v"][li],
                                                cache_mask)
-        x = x + _maybe_psum(attn_out.reshape(B, 1, -1) @ layer["attn"]["wo"],
-                            tp_axis)
+        x = x + _maybe_psum(_mm(attn_out.reshape(B, 1, -1),
+                                layer["attn"]["wo"]), tp_axis)
         x = x + _maybe_psum(
             _mlp(layer["mlp"], rms_norm(x, layer["ln2"], cfg.norm_eps)),
             tp_axis)
@@ -467,7 +544,7 @@ def decode_window(params: Dict[str, Any], cfg: DecoderConfig,
     Returns (logits [B, G, V], updated cache).
     """
     B, G = tokens.shape
-    x = params["embed"][tokens].astype(cfg.dtype)  # [B, G, d]
+    x = _embed_rows(params["embed"], tokens, cfg.dtype)  # [B, G, d]
     int8_kv = "k_scale" in cache
 
     new_cache = dict(cache)
@@ -503,7 +580,7 @@ def decode_window(params: Dict[str, Any], cfg: DecoderConfig,
             attn_out = masked_decode_window_attention(
                 q, new_cache["k"][li], new_cache["v"][li], cache_mask)
         attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, G, -1)
-        x = x + _maybe_psum(attn_out @ layer["attn"]["wo"], tp_axis)
+        x = x + _maybe_psum(_mm(attn_out, layer["attn"]["wo"]), tp_axis)
         x = x + _maybe_psum(
             _mlp(layer["mlp"], rms_norm(x, layer["ln2"], cfg.norm_eps)),
             tp_axis)

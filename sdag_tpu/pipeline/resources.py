@@ -99,6 +99,11 @@ def build_generator(cfg: Config) -> Generator:
         tok = load_tokenizer("")
         params = init_decoder_params(jax.random.PRNGKey(cfg.SEED + 1),
                                      dec_cfg)
+    if cfg.LLM_WEIGHTS_DTYPE == "int8":
+        # weight-only int8 serving: quantize once at load; the decoder
+        # forwards dispatch on leaf type (models/llama.py _mm)
+        from sdag_tpu.models.llama import quantize_decoder_params_int8
+        params = quantize_decoder_params_int8(params)
     tp_mesh = None
     if cfg.MESH_MODEL > 1 or cfg.MESH_DATA > 1:
         # sharded serving: 'model' = tensor parallelism (required for
